@@ -1,0 +1,176 @@
+"""Common NN building blocks: masked batch norm, masked "sparse" convolutions,
+MLP stacks. These are the TPU equivalents of the reference's BatchNorm1d-over-sparse
+-features and spconv SubMConv2d / SparseConv2d layers (DESIGN.md §3).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.01  # torch momentum 0.01 → flax momentum 0.99
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid elements of ``x [..., C]`` given ``mask [...]``.
+
+    Equivalent to the reference's ``nn.BatchNorm1d(eps=1e-3, momentum=0.01)`` applied
+    to the packed ``[N_active, C]`` sparse features (``spt_backbone.py:277``). Under
+    data-parallel jit the statistics are global-batch (sync-BN semantics).
+    """
+
+    use_running_average: bool | None = None
+    momentum: float = 1.0 - BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool | None = None):
+        use_ra = nn.merge_param(
+            'use_running_average', self.use_running_average, use_running_average
+        )
+        C = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros((C,)))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones((C,)))
+        scale = self.param('scale', nn.initializers.ones, (C,))
+        bias = self.param('bias', nn.initializers.zeros, (C,))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = mask.astype(x.dtype)[..., None]
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.sum(x * m, axis=red) / cnt
+            var = jnp.sum(jnp.square(x - mean) * m, axis=red) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                # unbiased variance for running stats, like torch
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class BatchNorm2d(nn.Module):
+    """Dense BN over [B, H, W, C] (reference nn.BatchNorm2d on dense BEV maps)."""
+
+    use_running_average: bool | None = None
+    momentum: float = 1.0 - BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        use_ra = nn.merge_param(
+            'use_running_average', self.use_running_average, use_running_average
+        )
+        return nn.BatchNorm(
+            use_running_average=use_ra,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=None,
+        )(x)
+
+
+class ConvBNReLU(nn.Module):
+    """Conv2d(bias=False) + BN + ReLU on dense NHWC maps (reference post-act dense
+    blocks, e.g. ``sst_bev_backbone.py:14-41``)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    padding: int | None = None
+    epsilon: float = BN_EPS
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        pad = self.padding if self.padding is not None else self.dilation * (
+            self.kernel // 2
+        )
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+        )(x)
+        x = BatchNorm2d(epsilon=self.epsilon)(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+class DeconvBNReLU(nn.Module):
+    """ConvTranspose2d(k=s, bias=False) + BN + ReLU (reference deblocks,
+    ``SiamWCA.py:519-535``). stride==1 degenerates to a 1x1 conv, as in torch."""
+
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.ConvTranspose(
+            self.features, (self.stride, self.stride),
+            strides=(self.stride, self.stride), use_bias=False,
+        )(x)
+        x = BatchNorm2d()(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+class LinearBNReLU(nn.Module):
+    """Linear(bias=False) + masked BN + ReLU over point/voxel lists — the reference
+    ``make_fc_layers_GN`` stack (``network_utils.py:25-40``, which despite its name
+    uses BatchNorm1d)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        x = nn.Dense(self.features, use_bias=False)(x)
+        x = MaskedBatchNorm()(x, mask, use_running_average=not train)
+        return nn.relu(x)
+
+
+class SubMConvBlock(nn.Module):
+    """Submanifold 3x3 conv on a voxel grid: dense conv whose outputs are masked to
+    the input active set, + masked BN + ReLU (reference ``post_act_block(...,
+    conv_type='subm', dim=2)``, spconv_utils.py:37-56)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, grid, occ, train: bool):
+        """grid [B, H, W, C] (zeros at inactive), occ [B, H, W] bool."""
+        x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False)(grid)
+        x = jnp.where(occ[..., None], x, 0.0)
+        x = MaskedBatchNorm()(x, occ, use_running_average=not train)
+        return nn.relu(x)
+
+
+class StridedSparseConvBlock(nn.Module):
+    """SparseConv2d(k=3, s=2, p=1) + BN + ReLU in the masked-dense formulation.
+    The caller supplies the precomputed output active set (``downsample_coords``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, grid, occ_out, train: bool):
+        """grid [B, H, W, C] → [B, ceil(H/2), ceil(W/2), F], masked to occ_out."""
+        H = grid.shape[1]
+        # torch/spconv output size (H + 2*1 - 3)//2 + 1 == (H+1)//2; flax 'SAME'
+        # with stride 2 gives ceil(H/2) == (H+1)//2 but anchors the kernel
+        # differently; use explicit padding (1, 1) to match.
+        x = nn.Conv(
+            self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            use_bias=False,
+        )(grid)
+        x = jnp.where(occ_out[..., None], x, 0.0)
+        x = MaskedBatchNorm()(x, occ_out, use_running_average=not train)
+        return nn.relu(x)

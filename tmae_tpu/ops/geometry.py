@@ -1,0 +1,138 @@
+"""On-device (JAX/XLA) rotated-box geometry: BEV/3D IoU and fixed-shape greedy NMS.
+
+Device counterpart of ``geometry_np.py`` (same candidate-point hull algorithm),
+replacing the reference's CUDA ``iou3d_nms_kernel.cu`` on the jitted inference path.
+All shapes are static; NMS runs a ``lax.fori_loop`` over a fixed box budget and
+returns a keep mask instead of a ragged index list.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def boxes_to_corners_bev(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[..., 7] → [..., 4, 2] CCW BEV corners."""
+    x, y = boxes[..., 0], boxes[..., 1]
+    dx, dy, ang = boxes[..., 3], boxes[..., 4], boxes[..., 6]
+    tmpl = jnp.array([[0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5], [0.5, -0.5]],
+                     boxes.dtype)
+    local = tmpl * jnp.stack([dx, dy], -1)[..., None, :]
+    c, s = jnp.cos(ang)[..., None], jnp.sin(ang)[..., None]
+    rx = local[..., 0] * c - local[..., 1] * s
+    ry = local[..., 0] * s + local[..., 1] * c
+    return jnp.stack([rx + x[..., None], ry + y[..., None]], -1)
+
+
+def _corners_in_box(pts, boxes):
+    d = pts - boxes[..., None, 0:2]
+    c, s = jnp.cos(boxes[..., 6])[..., None], jnp.sin(boxes[..., 6])[..., None]
+    u = d[..., 0] * c + d[..., 1] * s
+    v = -d[..., 0] * s + d[..., 1] * c
+    return (jnp.abs(u) <= boxes[..., None, 3] / 2 + 1e-5) & (
+        jnp.abs(v) <= boxes[..., None, 4] / 2 + 1e-5
+    )
+
+
+def _intersection_area_pair(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
+    """Single pair [7] x [7] → scalar BEV intersection area (vmap over pairs)."""
+    pa = boxes_to_corners_bev(box_a)  # [4,2]
+    pb = boxes_to_corners_bev(box_b)
+
+    cand = jnp.zeros((24, 2), box_a.dtype)
+    valid = jnp.zeros((24,), bool)
+    cand = cand.at[0:4].set(pa)
+    valid = valid.at[0:4].set(_corners_in_box(pa, box_b))
+    cand = cand.at[4:8].set(pb)
+    valid = valid.at[4:8].set(_corners_in_box(pb, box_a))
+
+    a1, a2 = pa, jnp.roll(pa, -1, axis=0)
+    b1, b2 = pb, jnp.roll(pb, -1, axis=0)
+    r = a2 - a1  # [4,2]
+    sv = b2 - b1
+    qp = b1[None, :, :] - a1[:, None, :]  # [4,4,2]
+    rxs = r[:, None, 0] * sv[None, :, 1] - r[:, None, 1] * sv[None, :, 0]
+    qpxs = qp[..., 0] * sv[None, :, 1] - qp[..., 1] * sv[None, :, 0]
+    qpxr = qp[..., 0] * r[:, None, 1] - qp[..., 1] * r[:, None, 0]
+    nz = jnp.abs(rxs) > _EPS
+    denom = jnp.where(nz, rxs, 1.0)
+    t = qpxs / denom
+    u = qpxr / denom
+    ok = nz & (t >= -1e-6) & (t <= 1 + 1e-6) & (u >= -1e-6) & (u <= 1 + 1e-6)
+    pt = a1[:, None, :] + t[..., None] * r[:, None, :]
+    cand = cand.at[8:24].set(pt.reshape(16, 2))
+    valid = valid.at[8:24].set(ok.reshape(16))
+
+    nval = jnp.sum(valid)
+    centroid = jnp.sum(jnp.where(valid[:, None], cand, 0.0), axis=0) / jnp.maximum(
+        nval, 1
+    )
+    rel = cand - centroid
+    ang = jnp.where(valid, jnp.arctan2(rel[:, 1], rel[:, 0]), jnp.inf)
+    order = jnp.argsort(ang)
+    rel_sorted = rel[order]
+    valid_sorted = valid[order]
+    first = rel_sorted[0]
+    rel_sorted = jnp.where(valid_sorted[:, None], rel_sorted, first)
+    nxt = jnp.roll(rel_sorted, -1, axis=0)
+    cross = rel_sorted[:, 0] * nxt[:, 1] - rel_sorted[:, 1] * nxt[:, 0]
+    area = 0.5 * jnp.abs(jnp.sum(cross))
+    return jnp.where(nval >= 3, area, 0.0)
+
+
+def intersection_area_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """[N, 7] x [M, 7] → [N, M]."""
+    f = jax.vmap(jax.vmap(_intersection_area_pair, in_axes=(None, 0)), in_axes=(0, None))
+    return f(boxes_a, boxes_b)
+
+
+def boxes_iou_bev(boxes_a, boxes_b):
+    inter = intersection_area_bev(boxes_a, boxes_b)
+    area_a = (boxes_a[:, 3] * boxes_a[:, 4])[:, None]
+    area_b = (boxes_b[:, 3] * boxes_b[:, 4])[None, :]
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6)
+
+
+def boxes_iou3d(boxes_a, boxes_b):
+    inter_bev = intersection_area_bev(boxes_a, boxes_b)
+    amax = (boxes_a[:, 2] + boxes_a[:, 5] / 2)[:, None]
+    amin = (boxes_a[:, 2] - boxes_a[:, 5] / 2)[:, None]
+    bmax = (boxes_b[:, 2] + boxes_b[:, 5] / 2)[None, :]
+    bmin = (boxes_b[:, 2] - boxes_b[:, 5] / 2)[None, :]
+    inter_h = jnp.clip(jnp.minimum(amax, bmax) - jnp.maximum(amin, bmin), 0)
+    inter = inter_bev * inter_h
+    vol_a = (boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5])[:, None]
+    vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
+    return inter / jnp.clip(vol_a + vol_b - inter, 1e-6)
+
+
+def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+                 thresh: float, post_maxsize: int) -> jnp.ndarray:
+    """Greedy rotated-BEV NMS over a fixed box budget.
+
+    boxes [K, 7] must be sorted by descending score with ``valid`` marking real
+    entries (the decode path provides exactly this). Returns keep mask [K] with at
+    most ``post_maxsize`` True entries. Matches ``nms_gpu`` + post_max slicing in
+    ``model_nms_utils.class_agnostic_nms`` (model_nms_utils.py:6-25).
+    """
+    K = boxes.shape[0]
+    iou = boxes_iou_bev(boxes, boxes)  # [K, K]
+    sup_from_earlier = iou > thresh
+
+    def body(i, state):
+        alive, kept = state
+        is_kept = alive[i] & valid[i]
+        # kept box suppresses everything it overlaps (incl. itself; i is never
+        # revisited so that is harmless)
+        alive = alive & ~(sup_from_earlier[i] & is_kept)
+        kept = kept.at[i].set(is_kept)
+        return alive, kept
+
+    alive0 = jnp.ones((K,), bool)
+    _, kept = jax.lax.fori_loop(0, K, body, (alive0, jnp.zeros((K,), bool)))
+    # cap to post_maxsize highest-score survivors
+    rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    return kept & (rank < post_maxsize)

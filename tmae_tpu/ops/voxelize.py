@@ -1,0 +1,215 @@
+"""Static-shape dynamic voxelization (pillarization) and segment reductions.
+
+Replaces the reference's ``coords.unique(return_inverse=True)`` + torch_scatter
+pooling (``pcdet/models/backbones_3d/vfe/temporal_dyn_vfe.py:55-125``) with
+fixed-cap, deterministic, sort-based ops that XLA compiles to static shapes.
+
+Conventions:
+  * points: ``[B, P, C]`` float, channels ``[x, y, z, feat...]``; ``point_mask [B, P]``.
+  * voxels: ``[B, V, ...]`` with ``voxel_mask [B, V]``; voxels are ordered by linear
+    pillar id (row-major ``y * nx + x``) — deterministic, unlike the reference's
+    atomicAdd ordering (any order is valid, see ``spt_backbone.py:66-70``).
+  * ``point_voxel [B, P]`` maps each point to its voxel slot, or ``V`` (out of
+    bounds sentinel) for invalid/overflow points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelSpec:
+    """Static description of the pillar grid. ``grid = (nx, ny, nz)`` derived from
+    range/voxel size exactly as the reference's ``calculate_grid_size`` processor
+    (``pcdet/datasets/processor/data_processor.py:166-172``)."""
+
+    pc_range: tuple  # (x0, y0, z0, x1, y1, z1)
+    voxel_size: tuple  # (vx, vy, vz)
+    max_points: int
+    max_voxels: int
+
+    @property
+    def grid_size(self):
+        rng = np.asarray(self.pc_range, np.float64)
+        vs = np.asarray(self.voxel_size, np.float64)
+        return tuple(np.round((rng[3:6] - rng[0:3]) / vs).astype(np.int64).tolist())
+
+    @property
+    def nx(self):
+        return self.grid_size[0]
+
+    @property
+    def ny(self):
+        return self.grid_size[1]
+
+
+def point_coords(points_xyz: jnp.ndarray, spec: VoxelSpec):
+    """Integer voxel coords [B, P, 3] (x, y, z order) + in-range mask.
+    Matches ``common_utils.get_in_range_mask`` (``common_utils.py:66-76``)."""
+    rng = jnp.asarray(spec.pc_range, points_xyz.dtype)
+    vs = jnp.asarray(spec.voxel_size, points_xyz.dtype)
+    grid = jnp.asarray(spec.grid_size, jnp.int32)
+    coords = jnp.floor((points_xyz - rng[0:3]) / vs).astype(jnp.int32)
+    in_range = jnp.all((coords >= 0) & (coords < grid), axis=-1)
+    return coords, in_range
+
+
+def _unique_static(ids: jnp.ndarray, sentinel: int, num_out: int):
+    """Per-sample static 'unique' of integer ids [P] → (slot ids [num_out],
+    point_slot [P], count). Invalid points must carry ``sentinel`` (> any valid id).
+    Deterministic: output slots sorted ascending by id."""
+    P = ids.shape[0]
+    order = jnp.argsort(ids)  # stable; sentinels go last
+    sids = ids[order]
+    valid_sorted = sids < sentinel
+    newflag = valid_sorted & jnp.concatenate(
+        [jnp.ones((1,), bool), sids[1:] != sids[:-1]]
+    )
+    rank_sorted = jnp.cumsum(newflag.astype(jnp.int32)) - 1  # slot of each sorted point
+    rank_sorted = jnp.where(valid_sorted & (rank_sorted < num_out), rank_sorted, num_out)
+    # voxel slot per original point
+    point_slot = jnp.zeros((P,), jnp.int32).at[order].set(rank_sorted)
+    # slot → id
+    slot_ids = (
+        jnp.full((num_out + 1,), sentinel, ids.dtype)
+        .at[jnp.where(newflag, rank_sorted, num_out)]
+        .set(sids, mode='drop')[:num_out]
+    )
+    count = jnp.minimum(jnp.sum(newflag.astype(jnp.int32)), num_out)
+    return slot_ids, point_slot, count
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray, spec: VoxelSpec):
+    """Assign points to pillars. Returns dict with:
+       voxel_coords [B, V, 2] int32 (y, x), voxel_mask [B, V],
+       point_voxel [B, P] (slot or V), point_valid [B, P] (in range & real).
+    """
+    B, P, _ = points.shape
+    V = spec.max_voxels
+    nx, ny, _ = spec.grid_size
+    coords, in_range = point_coords(points[..., :3], spec)
+    valid = in_range & point_mask
+    sentinel = nx * ny
+    ids = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], sentinel)
+
+    slot_ids, point_slot, counts = jax.vmap(
+        lambda i: _unique_static(i, sentinel, V)
+    )(ids)
+
+    voxel_mask = slot_ids < sentinel
+    vy = jnp.where(voxel_mask, slot_ids // nx, 0).astype(jnp.int32)
+    vx = jnp.where(voxel_mask, slot_ids % nx, 0).astype(jnp.int32)
+    point_valid = valid & (point_slot < V)
+    point_slot = jnp.where(point_valid, point_slot, V)
+    return {
+        'voxel_coords': jnp.stack([vy, vx], axis=-1),
+        'voxel_mask': voxel_mask,
+        'point_voxel': point_slot,
+        'point_valid': point_valid,
+        'num_voxels': counts,
+    }
+
+
+def segment_sum(feat: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Batched segment sum: feat [B, P, C], seg [B, P] (segment or num_segments for
+    dropped) → [B, num_segments, C]. OOB segments are dropped."""
+
+    def one(f, s):
+        return jax.ops.segment_sum(f, s, num_segments=num_segments + 1)[:-1]
+
+    return jax.vmap(one)(feat, seg)
+
+
+def segment_mean(feat, seg, num_segments, valid=None):
+    if valid is not None:
+        feat = jnp.where(valid[..., None], feat, 0.0)
+        ones = valid.astype(feat.dtype)
+    else:
+        ones = jnp.ones(seg.shape, feat.dtype)
+    total = segment_sum(feat, seg, num_segments)
+    cnt = segment_sum(ones[..., None], seg, num_segments)
+    return total / jnp.maximum(cnt, 1.0)
+
+
+def segment_max(feat: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Batched segment max with 0 for empty segments (torch_scatter.scatter_max
+    yields 0 for empty segments in the reference's usage since it allocates zeros)."""
+
+    def one(f, s):
+        m = jax.ops.segment_max(f, s, num_segments=num_segments + 1)[:-1]
+        return m
+
+    big_neg = jnp.finfo(feat.dtype).min
+    out = jax.vmap(one)(feat, seg)
+    return jnp.where(out <= big_neg / 2, 0.0, out)
+
+
+def scatter_to_grid(feat: jnp.ndarray, coords_yx: jnp.ndarray, mask: jnp.ndarray,
+                    grid_hw: tuple):
+    """Voxel list → dense BEV grid. feat [B, V, C] → [B, H, W, C] (NHWC)."""
+    H, W = grid_hw
+    B, V, C = feat.shape
+    flat_idx = jnp.where(mask, coords_yx[..., 0] * W + coords_yx[..., 1], H * W)
+
+    def one(f, i):
+        return jnp.zeros((H * W + 1, C), f.dtype).at[i].set(f, mode='drop')[:-1]
+
+    return jax.vmap(one)(jnp.where(mask[..., None], feat, 0.0), flat_idx).reshape(
+        B, H, W, C
+    )
+
+
+def gather_from_grid(grid: jnp.ndarray, coords_yx: jnp.ndarray, mask: jnp.ndarray):
+    """Dense BEV grid [B, H, W, C] → voxel list [B, V, C] at coords."""
+    B, H, W, C = grid.shape
+    y = jnp.clip(coords_yx[..., 0], 0, H - 1)
+    x = jnp.clip(coords_yx[..., 1], 0, W - 1)
+
+    def one(g, yy, xx):
+        return g[yy, xx]
+
+    out = jax.vmap(one)(grid, y, x)
+    return jnp.where(mask[..., None], out, 0.0)
+
+
+def occupancy_grid(coords_yx, mask, grid_hw):
+    """[B, V] voxel list → [B, H, W] bool occupancy."""
+    occ = scatter_to_grid(
+        jnp.ones(mask.shape + (1,), jnp.float32), coords_yx, mask, grid_hw
+    )
+    return occ[..., 0] > 0
+
+
+def downsample_coords(coords_yx: jnp.ndarray, mask: jnp.ndarray, grid_hw: tuple,
+                      max_out: int):
+    """Active output set of a stride-2, k=3, p=1 sparse conv (spconv SparseConv2d
+    semantics: every output cell whose 3x3 receptive field touches an active input).
+    Input voxel y maps to output rows {y//2, (y+1)//2} (and same for x), i.e. up to 4
+    candidate cells per voxel; deduplicate with the static unique.
+    Returns new (coords [B, Vout, 2], mask [B, Vout])."""
+    H, W = grid_hw
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    y, x = coords_yx[..., 0], coords_yx[..., 1]
+    cand_y = jnp.stack([y // 2, (y + 1) // 2], axis=-1)  # [B, V, 2]
+    cand_x = jnp.stack([x // 2, (x + 1) // 2], axis=-1)
+    # cross product of the two axes → 4 candidates
+    yy = jnp.repeat(cand_y, 2, axis=-1)  # y0 y0 y1 y1
+    xx = jnp.tile(cand_x, (1, 1, 2))  # x0 x1 x0 x1
+    yy = jnp.clip(yy, 0, Ho - 1)
+    xx = jnp.clip(xx, 0, Wo - 1)
+    sentinel = Ho * Wo
+    ids = jnp.where(mask[..., None], yy * Wo + xx, sentinel)
+    B = ids.shape[0]
+    ids = ids.reshape(B, -1)
+    slot_ids, _, _ = jax.vmap(lambda i: _unique_static(i, sentinel, max_out))(ids)
+    new_mask = slot_ids < sentinel
+    ny_ = jnp.where(new_mask, slot_ids // Wo, 0).astype(jnp.int32)
+    nx_ = jnp.where(new_mask, slot_ids % Wo, 0).astype(jnp.int32)
+    return jnp.stack([ny_, nx_], axis=-1), new_mask
