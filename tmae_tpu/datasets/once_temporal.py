@@ -1,0 +1,304 @@
+"""ONCE temporal (two-frame) dataset + a synthetic stand-in for tests/benchmarks.
+
+Host-side re-implementation of ``pcdet/datasets/once_temporal/once_temporal_
+dataset.py``: per-sequence SCAN_WINDOW intervals, random/fixed previous-frame gap,
+ego-point removal, quaternion-pose ego-motion compensation of the previous frame
+into current coordinates (``once_eval/once_utils.py:4-29``), and the ONCE AP
+evaluation adapter.
+"""
+
+from __future__ import annotations
+
+import copy
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from .dataset import DatasetTemplate, register_dataset
+from .once_eval import get_evaluation_results
+
+
+def quat_to_matrix(q):
+    """[x, y, z, w] quaternion → 3x3 rotation matrix (scipy convention used by the
+    reference's ``Rotation.from_quat``)."""
+    x, y, z, w = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def convert_prv_frame_to_cur(pc_prv, pose_prv, pose_cur):
+    """Ego-motion compensation (once_utils.py:4-29). Poses: [qx,qy,qz,qw,tx,ty,tz];
+    all-zero pose means static → skip."""
+    if not np.any(pose_prv):
+        pc_global = pc_prv[:, :3]
+    else:
+        R = quat_to_matrix(pose_prv[:4])
+        t = np.asarray(pose_prv[4:], np.float64)
+        pc_global = pc_prv[:, :3] @ R.T + t
+    if np.any(pose_cur):
+        T = np.zeros((4, 4))
+        T[:3, :3] = quat_to_matrix(pose_cur[:4])
+        T[:3, 3] = np.asarray(pose_cur[4:], np.float64)
+        T[3, 3] = 1
+        Tinv = np.linalg.inv(T)
+        ones = np.ones((len(pc_global), 1))
+        pc_global = (np.hstack([pc_global, ones]) @ Tinv.T)[:, :3]
+    return np.concatenate(
+        [pc_global.astype(pc_prv.dtype), pc_prv[:, 3:]], axis=-1
+    )
+
+
+def remove_ego_points(points, center_radius=1.0):
+    m = ~(
+        (np.abs(points[:, 0]) < center_radius)
+        & (np.abs(points[:, 1]) < center_radius)
+    )
+    return points[m]
+
+
+def generate_intervals(frame_counts, scan_window):
+    """Per-sequence [start, end) intervals of length scan_window
+    (dataset.py:241-252 / once_temporal_dataset.py:87-94)."""
+    intervals = []
+    offset = 0
+    for n in frame_counts:
+        s = 0
+        while s < n:
+            e = min(s + scan_window, n)
+            intervals.append((offset + s, offset + e))
+            s = e
+        offset += n
+    return intervals
+
+
+@register_dataset('ONCETemporalDataset')
+class ONCETemporalDataset(DatasetTemplate):
+    """Two-frame ONCE loader over real info pkls (data layout identical to the
+    reference: ``<root>/<split>.pkl`` infos with per-frame ``frame_id``,
+    ``sequence_id``, ``pose``, optional ``annos``; lidar at
+    ``<root>/data/<seq>/lidar_roof/<frame>.bin``)."""
+
+    def __init__(self, dataset_cfg, class_names, training, root_path=None,
+                 runtime_cfg=None, seed=None):
+        super().__init__(dataset_cfg, class_names, training, root_path,
+                         runtime_cfg, seed)
+        self.split = dataset_cfg['DATA_SPLIT']['train' if training else 'test']
+        self.scan_window = int(dataset_cfg.get('SCAN_WINDOW', 3))
+        self.align_two_frames = bool(dataset_cfg.get('ALIGN_TWO_FRAMES', True))
+        self.fixed_gap = int(dataset_cfg.get('FIXED_GAP', -1))
+        self.sampling_window = max(self.scan_window // 3, 1)
+        self.root = Path(root_path) if root_path else None
+        self.once_infos = []
+        self._load_infos()
+        counts = []
+        cur_seq, cnt = None, 0
+        for info in self.once_infos:
+            if info['sequence_id'] != cur_seq:
+                if cur_seq is not None:
+                    counts.append(cnt)
+                cur_seq, cnt = info['sequence_id'], 0
+            cnt += 1
+        if cur_seq is not None:
+            counts.append(cnt)
+        self.once_intervals = generate_intervals(counts, self.scan_window)
+
+    def _load_infos(self):
+        info_path = None
+        if self.root is not None:
+            for cand in (self.root / f'once_infos_{self.split}.pkl',
+                         self.root / f'{self.split}.pkl'):
+                if cand.exists():
+                    info_path = cand
+                    break
+        if info_path is None:
+            return
+        with open(info_path, 'rb') as f:
+            self.once_infos = pickle.load(f)
+
+    def get_lidar(self, seq_id, frame_id):
+        path = self.root / 'data' / seq_id / 'lidar_roof' / f'{frame_id}.bin'
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+    def __len__(self):
+        return len(self.once_intervals)
+
+    def __getitem__(self, index):
+        itv = self.once_intervals[index]
+        idx = itv[1] - 1
+        num_frames = itv[1] - itv[0]
+        if self.fixed_gap == -1:
+            if num_frames == 1:
+                idx_prev = idx
+            else:
+                idx_prev = int(self.rng.randint(
+                    itv[0], itv[0] + self.sampling_window
+                ))
+        else:
+            idx_prev = max(itv[0], idx - self.fixed_gap)
+
+        info = copy.deepcopy(self.once_infos[idx])
+        info_prev = copy.deepcopy(self.once_infos[idx_prev])
+        points = remove_ego_points(
+            self.get_lidar(info['sequence_id'], info['frame_id']), 2
+        )
+        points_prev = remove_ego_points(
+            self.get_lidar(info['sequence_id'], info_prev['frame_id']), 2
+        )
+        if self.align_two_frames and info['frame_id'] != info_prev['frame_id']:
+            try:
+                points_prev = convert_prv_frame_to_cur(
+                    points_prev, info_prev['pose'], info['pose']
+                )
+            except (ValueError, np.linalg.LinAlgError):
+                return self[int(self.rng.randint(len(self)))]
+
+        data = {
+            'points': points,
+            'points_prev': points_prev,
+            'frame_id': info['frame_id'],
+        }
+        if 'annos' in info:
+            data['gt_names'] = np.asarray(info['annos']['name'])
+            data['gt_boxes'] = np.asarray(info['annos']['boxes_3d'], np.float32)
+        out = self.prepare_data(data)
+        if out is None:
+            return self[int(self.rng.randint(len(self)))]
+        return out
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        gt_annos = [
+            copy.deepcopy(self.once_infos[itv[1] - 1]['annos'])
+            for itv in self.once_intervals
+        ]
+        return get_evaluation_results(gt_annos, det_annos, class_names)
+
+    @staticmethod
+    def generate_prediction_dicts(frame_ids, boxes, scores, labels, valid,
+                                  class_names):
+        """Device outputs → ONCE annos (once_temporal_dataset.py:551-585)."""
+        annos = []
+        cn = np.asarray(class_names)
+        for b in range(len(frame_ids)):
+            v = np.asarray(valid[b])
+            bx = np.asarray(boxes[b])[v]
+            sc = np.asarray(scores[b])[v]
+            lb = np.asarray(labels[b])[v].astype(np.int64)
+            annos.append({
+                'frame_id': frame_ids[b],
+                'name': cn[np.clip(lb - 1, 0, len(cn) - 1)]
+                if len(bx) else np.zeros(0, cn.dtype),
+                'score': sc,
+                'boxes_3d': bx[:, :7],
+            })
+        return annos
+
+
+@register_dataset('SyntheticONCEDataset')
+class SyntheticONCEDataset(ONCETemporalDataset):
+    """Procedurally generated ONCE-format scenes (boxes + ground + clutter, two
+    ego-motion-consistent frames) for tests and benchmarks — the reference has no
+    offline-data-free path; this enables e2e train/eval without the 2 TB dataset."""
+
+    def __init__(self, dataset_cfg, class_names, training, root_path=None,
+                 runtime_cfg=None, seed=None):
+        self.num_samples = int(dataset_cfg.get('NUM_SYNTHETIC_SAMPLES', 16))
+        self.points_per_frame = int(dataset_cfg.get('SYNTHETIC_POINTS', 4096))
+        self.boxes_per_frame = int(dataset_cfg.get('SYNTHETIC_BOXES', 8))
+        DatasetTemplate.__init__(self, dataset_cfg, class_names, training,
+                                 root_path, runtime_cfg, seed)
+        self.scan_window = int(dataset_cfg.get('SCAN_WINDOW', 3))
+        self.fixed_gap = int(dataset_cfg.get('FIXED_GAP', -1))
+        self.once_intervals = [(i, i + 1) for i in range(self.num_samples)]
+        self.once_infos = [
+            {'frame_id': f'synth_{i:06d}', 'sequence_id': 'synth',
+             'pose': np.zeros(7)}
+            for i in range(self.num_samples)
+        ]
+        self._annos_cache = {}
+
+    def _scene(self, index):
+        if index in self._annos_cache:
+            return self._annos_cache[index]
+        rng = np.random.RandomState(1000 + index)
+        pc = self.pc_range
+        n_box = self.boxes_per_frame
+        boxes = np.zeros((n_box, 7), np.float32)
+        names = []
+        dims_by_class = {
+            'Car': (4.5, 1.9, 1.6), 'Bus': (11.0, 2.9, 3.2),
+            'Truck': (8.0, 2.6, 3.0), 'Pedestrian': (0.7, 0.7, 1.7),
+            'Cyclist': (1.8, 0.7, 1.7),
+        }
+        margin = 6.0
+        for i in range(n_box):
+            cls = self.class_names[rng.randint(len(self.class_names))]
+            d = dims_by_class.get(cls, (4.0, 2.0, 1.6))
+            boxes[i] = [
+                rng.uniform(pc[0] + margin, pc[3] - margin),
+                rng.uniform(pc[1] + margin, pc[4] - margin),
+                rng.uniform(-1.0, 0.5),
+                d[0] * rng.uniform(0.9, 1.1),
+                d[1] * rng.uniform(0.9, 1.1),
+                d[2] * rng.uniform(0.9, 1.1),
+                rng.uniform(-np.pi, np.pi),
+            ]
+            names.append(cls)
+        scene = {'boxes': boxes, 'names': np.asarray(names), 'rng_seed': index}
+        self._annos_cache[index] = scene
+        return scene
+
+    def _render_frame(self, scene, jitter_rng):
+        """Points on box surfaces + ground plane + clutter."""
+        boxes = scene['boxes']
+        pts = []
+        n_obj = self.points_per_frame // 2 // max(len(boxes), 1)
+        for b in boxes:
+            local = jitter_rng.uniform(-0.5, 0.5, (n_obj, 3)) * b[3:6]
+            c, s = np.cos(b[6]), np.sin(b[6])
+            x = local[:, 0] * c - local[:, 1] * s + b[0]
+            y = local[:, 0] * s + local[:, 1] * c + b[1]
+            z = local[:, 2] + b[2]
+            inten = jitter_rng.uniform(0, 1, n_obj)
+            pts.append(np.stack([x, y, z, inten], -1))
+        n_bg = self.points_per_frame - sum(len(p) for p in pts)
+        pc = self.pc_range
+        bg = np.stack([
+            jitter_rng.uniform(pc[0], pc[3], n_bg),
+            jitter_rng.uniform(pc[1], pc[4], n_bg),
+            jitter_rng.uniform(-1.8, -1.6, n_bg),
+            jitter_rng.uniform(0, 1, n_bg),
+        ], -1)
+        pts.append(bg)
+        return np.concatenate(pts, 0).astype(np.float32)
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, index):
+        scene = self._scene(index)
+        rng_cur = np.random.RandomState(2000 + index)
+        rng_prv = np.random.RandomState(3000 + index)
+        data = {
+            'points': self._render_frame(scene, rng_cur),
+            'points_prev': self._render_frame(scene, rng_prv),
+            'frame_id': f'synth_{index:06d}',
+            'gt_names': scene['names'].copy(),
+            'gt_boxes': scene['boxes'].copy(),
+        }
+        out = self.prepare_data(data)
+        if out is None:
+            return self[(index + 1) % len(self)]
+        return out
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        gt_annos = []
+        for i in range(self.num_samples):
+            scene = self._scene(i)
+            gt_annos.append({
+                'name': scene['names'], 'boxes_3d': scene['boxes'][:, :7],
+            })
+        return get_evaluation_results(gt_annos, det_annos, class_names)

@@ -1,0 +1,189 @@
+"""CenterHead: shared conv + per-group separate heads, on-device target assignment,
+CenterNet focal/L1 losses, and static-shape decode + rotated NMS.
+
+TPU re-design of ``pcdet/models/dense_heads/center_head.py``: the per-sample,
+per-GT host-side target loop (center_head.py:108-232) becomes a vectorized
+scatter-max gaussian splat; decode/NMS run with fixed K on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import centernet as C
+from ..ops import geometry as geo
+from .layers import BatchNorm2d, ConvBNReLU
+
+
+class SeparateHead(nn.Module):
+    """Per-target-group conv stacks (center_head.py:11-46). Each head:
+    (num_conv-1) x [Conv3x3-BN-ReLU] + Conv3x3; 'hm' final bias init -2.19."""
+
+    head_dict: dict  # name → {out_channels, num_conv}
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = {}
+        for name, hc in self.head_dict.items():
+            y = x
+            for k in range(hc['num_conv'] - 1):
+                y = ConvBNReLU(
+                    x.shape[-1], kernel=3, use_bias=self.use_bias,
+                    epsilon=1e-5, name=f'{name}_conv{k}',
+                )(y, train)
+            bias_init = (
+                nn.initializers.constant(-2.19)
+                if name == 'hm' else nn.initializers.zeros
+            )
+            y = nn.Conv(
+                hc['out_channels'], (3, 3), padding='SAME', use_bias=True,
+                bias_init=bias_init, name=f'{name}_out',
+            )(y)
+            out[name] = y
+        return out
+
+
+class CenterHead(nn.Module):
+    model_cfg: Any
+    num_class: int
+    class_names: Sequence[str]
+    voxel_size: tuple
+    pc_range: tuple
+
+    @nn.compact
+    def __call__(self, spatial_features, train: bool):
+        """spatial_features [B, H, W, C] NHWC → list of per-group pred dicts with
+        NHWC maps."""
+        cfg = self.model_cfg
+        shared_ch = cfg['SHARED_CONV_CHANNEL']
+        use_bias = cfg.get('USE_BIAS_BEFORE_NORM', False)
+        x = nn.Conv(shared_ch, (3, 3), padding='SAME', use_bias=use_bias,
+                    name='shared_conv')(spatial_features)
+        x = BatchNorm2d(epsilon=1e-5, name='shared_bn')(
+            x, use_running_average=not train
+        )
+        x = nn.relu(x)
+
+        head_groups = cfg['CLASS_NAMES_EACH_HEAD']
+        sep_cfg = dict(cfg['SEPARATE_HEAD_CFG']['HEAD_DICT'])
+        pred_dicts = []
+        for gi, names in enumerate(head_groups):
+            hd = {k: dict(v) for k, v in sep_cfg.items()}
+            hd['hm'] = {
+                'out_channels': len(names), 'num_conv': cfg['NUM_HM_CONV'],
+            }
+            pred_dicts.append(
+                SeparateHead(hd, use_bias, name=f'head_{gi}')(x, train)
+            )
+        return pred_dicts
+
+
+def sigmoid_clamped(x):
+    return jnp.clip(jax.nn.sigmoid(x), 1e-4, 1 - 1e-4)
+
+
+def focal_loss_centernet(pred, gt):
+    """CornerNet-style focal loss (loss_utils.neg_loss_cornernet:274-309);
+    pred must be clamp-sigmoided, NCHW or NHWC consistent with gt."""
+    pos = (gt == 1.0).astype(pred.dtype)
+    neg = (gt < 1.0).astype(pred.dtype)
+    neg_w = jnp.power(1 - gt, 4)
+    pos_loss = jnp.log(pred) * jnp.square(1 - pred) * pos
+    neg_loss = jnp.log(1 - pred) * jnp.square(pred) * neg_w * neg
+    num_pos = jnp.sum(pos)
+    pos_loss = jnp.sum(pos_loss)
+    neg_loss = jnp.sum(neg_loss)
+    return jnp.where(
+        num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1.0)
+    )
+
+
+def reg_loss_centernet(pred_maps, inds, targets, mask, code_weights):
+    """Masked L1 at center cells (loss_utils.RegLossCenterNet + _reg_loss:323-396).
+    pred_maps [B, H, W, D] NHWC; inds [B, M] flat y*W+x; targets [B, M, D]."""
+    B, H, W, D = pred_maps.shape
+    flat = pred_maps.reshape(B, H * W, D)
+    pred = jnp.take_along_axis(flat, inds[..., None].astype(jnp.int32), axis=1)
+    m = mask.astype(pred.dtype)[..., None]
+    num = jnp.maximum(jnp.sum(m), 1.0)
+    l1 = jnp.abs(pred - targets) * m
+    per_dim = jnp.sum(l1, axis=(0, 1)) / num  # [D]
+    return jnp.sum(per_dim * jnp.asarray(code_weights, pred.dtype))
+
+
+def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
+    """Total loss over head groups (center_head.py:239-279)."""
+    total = 0.0
+    tb = {}
+    for gi, (pd, td) in enumerate(zip(pred_dicts, target_dicts)):
+        hm = sigmoid_clamped(pd['hm'])
+        hm_loss = focal_loss_centernet(hm, td['heatmap'].transpose(0, 2, 3, 1))
+        hm_loss = hm_loss * loss_weights['cls_weight']
+        reg = jnp.concatenate([pd[k] for k in head_order], axis=-1)
+        loc_loss = reg_loss_centernet(
+            reg, td['inds'], td['target_boxes'], td['mask'],
+            loss_weights['code_weights'],
+        ) * loss_weights['loc_weight']
+        total = total + hm_loss + loc_loss
+        tb[f'hm_loss_head_{gi}'] = hm_loss
+        tb[f'loc_loss_head_{gi}'] = loc_loss
+    return total, tb
+
+
+def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
+                   feature_map_stride: int, class_id_maps):
+    """Static-shape decode + per-sample class-agnostic rotated NMS
+    (center_head.py:281-343 + model_nms_utils.py:6-25).
+
+    Returns (boxes [B, K, 7], scores [B, K], labels [B, K] 1-indexed,
+    valid [B, K]) with K = MAX_OBJ_PER_SAMPLE; NMS keeps ≤ NMS_POST_MAXSIZE.
+    """
+    nms_cfg = post_cfg['NMS_CONFIG']
+    K = int(post_cfg['MAX_OBJ_PER_SAMPLE'])
+    all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    for gi, pd in enumerate(pred_dicts):
+        to_nchw = lambda t: t.transpose(0, 3, 1, 2)
+        hm = jax.nn.sigmoid(to_nchw(pd['hm']))
+        boxes, scores, cls, ok = C.decode_bbox_from_heatmap(
+            heatmap=hm,
+            rot_cos=to_nchw(pd['rot'][..., 0:1]),
+            rot_sin=to_nchw(pd['rot'][..., 1:2]),
+            center=to_nchw(pd['center']),
+            center_z=to_nchw(pd['center_z']),
+            dim=jnp.exp(to_nchw(pd['dim'])),
+            point_cloud_range=tuple(pc_range), voxel_size=tuple(voxel_size),
+            feature_map_stride=feature_map_stride, K=K,
+            score_thresh=float(post_cfg['SCORE_THRESH']),
+            post_center_limit_range=tuple(post_cfg['POST_CENTER_LIMIT_RANGE']),
+        )
+        # local head class → global class id, 1-indexed (center_head.py:316)
+        gmap = jnp.asarray(class_id_maps[gi], jnp.int32)
+        labels = gmap[jnp.clip(cls, 0, gmap.shape[0] - 1)] + 1
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        all_labels.append(labels)
+        all_valid.append(ok)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    labels = jnp.concatenate(all_labels, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+
+    # sort by score desc (scores of invalid → -1 so they sink)
+    s_sort = jnp.where(valid, scores, -1.0)
+    order = jnp.argsort(-s_sort, axis=1)
+    boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    labels = jnp.take_along_axis(labels, order, axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+
+    keep = jax.vmap(
+        lambda b, s, v: geo.nms_bev_mask(
+            b, s, v, float(nms_cfg['NMS_THRESH']), int(nms_cfg['NMS_POST_MAXSIZE'])
+        )
+    )(boxes, jnp.where(valid, scores, -1.0), valid)
+    return boxes, scores, labels, valid & keep

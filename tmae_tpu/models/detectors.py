@@ -1,0 +1,211 @@
+"""Detector shells: TMAE (pretrain) and CenterPoint (finetune/detect), plus the
+registry used by the train/eval harness.
+
+These mirror the reference's thin detector classes (``pcdet/models/detectors/
+{t_mae,centerpoint}.py``) on top of the module topology VFE → BACKBONE_3D →
+BACKBONE_2D → DENSE_HEAD (``detector3d_template.py:25-28``), but expose a
+functional interface: ``apply(variables, batch, train)`` returns predictions, and
+losses are pure functions of the outputs — the natural fit for jitted JAX training.
+
+Static batch layout (DESIGN.md §1):
+  points [B, P, 4] (x, y, z, intensity), point_mask [B, P]
+  points_prev / point_mask_prev        (temporal models)
+  gt_boxes [B, M, 8] (x,y,z,dx,dy,dz,heading,label 1-indexed), gt_mask [B, M]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.centernet import assign_center_targets
+from ..ops.voxelize import VoxelSpec
+from .bev import SSTBEVBackbone
+from .center_head import (
+    CenterHead, center_head_loss, decode_and_nms,
+)
+from .siamwca import SiamWCA, SiamWCA_MAE
+from .sst import VoxelSet
+from .vfe import TemporalDynVFE
+
+
+def make_voxel_spec(data_cfg, runtime_cfg) -> VoxelSpec:
+    proc = [p for p in data_cfg['DATA_PROCESSOR']
+            if p['NAME'] in ('calculate_grid_size', 'transform_points_to_voxels')]
+    voxel_size = tuple(proc[-1]['VOXEL_SIZE']) if proc else (0.32, 0.32, 8.0)
+    return VoxelSpec(
+        pc_range=tuple(data_cfg['POINT_CLOUD_RANGE']),
+        voxel_size=voxel_size,
+        max_points=int(runtime_cfg['MAX_POINTS']),
+        max_voxels=int(runtime_cfg['MAX_VOXELS'][0]),
+    )
+
+
+def _grid_hw(spec: VoxelSpec):
+    nx, ny, _ = spec.grid_size
+    return (ny, nx)
+
+
+class CenterPoint(nn.Module):
+    """Finetune detector: TemporalDynVFE → SiamWCA → SSTBEVBackbone → CenterHead
+    (reference ``detectors/centerpoint.py`` with the t_mae.yaml module stack)."""
+
+    model_cfg: Any
+    class_names: Sequence[str]
+    spec: VoxelSpec
+    max_voxels_per_level: Sequence[int]
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        vfe_cfg = self.model_cfg['VFE']
+        cur, prv = TemporalDynVFE(
+            self.spec, mlps=[list(m) for m in vfe_cfg['MLPS']],
+            use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
+            use_cluster_xyz=vfe_cfg.get('USE_CLUSTER_XYZ', True),
+            with_distance=vfe_cfg.get('WITH_DISTANCE', False),
+            name='vfe',
+        )(batch['points'], batch['point_mask'],
+          batch['points_prev'], batch['point_mask_prev'], train)
+
+        hw = _grid_hw(self.spec)
+        vs_cur = VoxelSet(cur['voxel_features'], cur['voxel_coords'],
+                          cur['voxel_mask'], hw)
+        vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
+                          prv['voxel_mask'], hw)
+        spatial, _ = SiamWCA(
+            self.model_cfg['BACKBONE_3D'], self.max_voxels_per_level,
+            name='backbone_3d',
+        )(vs_cur, vs_prv, train)
+        spatial2d = SSTBEVBackbone(
+            self.model_cfg['BACKBONE_2D'], name='backbone_2d'
+        )(spatial, train)
+        pred_dicts = CenterHead(
+            self.model_cfg['DENSE_HEAD'], len(self.class_names),
+            self.class_names, self.spec.voxel_size, self.spec.pc_range,
+            name='dense_head',
+        )(spatial2d, train)
+        return {'pred_dicts': pred_dicts, 'spatial_features_2d': spatial2d}
+
+
+class TMAE(nn.Module):
+    """Pretrain detector: TemporalDynVFE → SiamWCA_MAE (reference
+    ``detectors/t_mae.py``; loss comes from the backbone)."""
+
+    model_cfg: Any
+    class_names: Sequence[str]
+    spec: VoxelSpec
+    max_voxels_per_level: Sequence[int]
+
+    @nn.compact
+    def __call__(self, batch, train: bool, mask_rng=None):
+        vfe_cfg = self.model_cfg['VFE']
+        cur, prv = TemporalDynVFE(
+            self.spec, mlps=[list(m) for m in vfe_cfg['MLPS']],
+            use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
+            use_cluster_xyz=vfe_cfg.get('USE_CLUSTER_XYZ', True),
+            with_distance=vfe_cfg.get('WITH_DISTANCE', False),
+            name='vfe',
+        )(batch['points'], batch['point_mask'],
+          batch['points_prev'], batch['point_mask_prev'], train)
+
+        hw = _grid_hw(self.spec)
+        vs_cur = VoxelSet(cur['voxel_features'], cur['voxel_coords'],
+                          cur['voxel_mask'], hw)
+        vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
+                          prv['voxel_mask'], hw)
+        out = SiamWCA_MAE(
+            self.model_cfg['BACKBONE_3D'], self.max_voxels_per_level,
+            voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
+            name='backbone_3d',
+        )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
+          cur['point_valid'], train, mask_rng=mask_rng)
+        return out
+
+
+_DETECTORS = {
+    'CenterPoint': CenterPoint,
+    'TMAE': TMAE,
+}
+
+
+def register_detector(name, cls):
+    _DETECTORS[name] = cls
+
+
+def build_detector(cfg):
+    """cfg: full config (CLASS_NAMES, DATA_CONFIG, MODEL, RUNTIME). Returns the
+    flax module."""
+    model_cfg = cfg['MODEL']
+    runtime = cfg['RUNTIME']
+    spec = make_voxel_spec(cfg['DATA_CONFIG'], runtime)
+    name = model_cfg['NAME']
+    if name not in _DETECTORS:
+        raise KeyError(f'unknown detector {name}; have {list(_DETECTORS)}')
+    cls = _DETECTORS[name]
+    return cls(
+        model_cfg=model_cfg,
+        class_names=tuple(cfg['CLASS_NAMES']),
+        spec=spec,
+        max_voxels_per_level=tuple(int(v) for v in runtime['MAX_VOXELS']),
+    )
+
+
+def centerpoint_loss(cfg, outputs, batch):
+    """Training loss for CenterPoint (CenterHead targets + focal/L1)."""
+    head_cfg = cfg['MODEL']['DENSE_HEAD']
+    spec = make_voxel_spec(cfg['DATA_CONFIG'], cfg['RUNTIME'])
+    hw = _grid_hw(spec)
+    stride = int(head_cfg['TARGET_ASSIGNER_CONFIG'].get('FEATURE_MAP_STRIDE', 1))
+    fm = (hw[1] // stride, hw[0] // stride)  # (x, y) like the reference
+    class_names = list(cfg['CLASS_NAMES'])
+    groups = head_cfg['CLASS_NAMES_EACH_HEAD']
+    target_dicts = []
+    offset = 0
+    for names in groups:
+        # remap labels into this group's local 1..len(names)
+        gmap = np.zeros(len(class_names) + 1, np.int32)
+        for li, n in enumerate(names):
+            gmap[class_names.index(n) + 1] = li + 1
+        gmap_j = jnp.asarray(gmap)
+        labels = batch['gt_boxes'][..., 7].astype(jnp.int32)
+        local = gmap_j[jnp.clip(labels, 0, len(class_names))]
+        in_group = (local > 0) & batch['gt_mask']
+        gt = batch['gt_boxes'].at[..., 7].set(local.astype(jnp.float32))
+        td = assign_center_targets(
+            gt, in_group, num_classes=len(names), feature_map_size=fm,
+            point_cloud_range=spec.pc_range, voxel_size=spec.voxel_size,
+            feature_map_stride=stride,
+            gaussian_overlap=float(
+                head_cfg['TARGET_ASSIGNER_CONFIG']['GAUSSIAN_OVERLAP']),
+            min_radius=int(head_cfg['TARGET_ASSIGNER_CONFIG']['MIN_RADIUS']),
+        )
+        target_dicts.append(td)
+        offset += len(names)
+    lw = head_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']
+    head_order = list(head_cfg['SEPARATE_HEAD_CFG']['HEAD_ORDER'])
+    return center_head_loss(outputs['pred_dicts'], target_dicts, head_order, lw)
+
+
+def tmae_loss(cfg, outputs, batch):
+    loss = SiamWCA_MAE.loss(outputs)
+    return loss, {'loss_rpn': loss}
+
+
+def centerpoint_predict(cfg, outputs):
+    """Decode + NMS → (boxes [B,K,7], scores, labels 1-indexed, valid)."""
+    head_cfg = cfg['MODEL']['DENSE_HEAD']
+    spec = make_voxel_spec(cfg['DATA_CONFIG'], cfg['RUNTIME'])
+    stride = int(head_cfg['TARGET_ASSIGNER_CONFIG'].get('FEATURE_MAP_STRIDE', 1))
+    groups = head_cfg['CLASS_NAMES_EACH_HEAD']
+    class_names = list(cfg['CLASS_NAMES'])
+    id_maps = [
+        np.asarray([class_names.index(n) for n in g], np.int32) for g in groups
+    ]
+    return decode_and_nms(
+        outputs['pred_dicts'], dict(head_cfg['POST_PROCESSING']),
+        spec.voxel_size, spec.pc_range, stride, id_maps,
+    )

@@ -18,8 +18,8 @@ full window, shift1 a half window; ``n_win = ceil(extent / window) + 1`` per axi
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +33,7 @@ def num_windows(grid_hw: tuple, window: int) -> tuple:
     return nwy, nwx
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class WindowPartition:
     """Static-shape window assignment for one shift of one pyramid level.
 
@@ -49,8 +49,8 @@ class WindowPartition:
     inner_rank: jnp.ndarray
     keep: jnp.ndarray
     pos_yx: jnp.ndarray
-    nw: int
-    max_tokens: int
+    nw: int = flax.struct.field(pytree_node=False)
+    max_tokens: int = flax.struct.field(pytree_node=False)
 
     @property
     def dest(self):
@@ -76,7 +76,6 @@ def _inner_rank(win_ids: jnp.ndarray, nw: int):
     return jnp.zeros((V,), jnp.int32).at[order].set(rank_sorted)
 
 
-@partial(jax.jit, static_argnames=('grid_hw', 'window', 'shift', 'max_tokens'))
 def window_partition(coords_yx: jnp.ndarray, valid: jnp.ndarray, grid_hw: tuple,
                      window: int = 8, shift: bool = False,
                      max_tokens: int = 64) -> WindowPartition:

@@ -1,0 +1,110 @@
+"""Jitted training/eval steps and the data-parallel mesh wiring.
+
+The reference's per-GPU DDP loop (``tools/train_utils/train_utils.py:15-146``)
+becomes a single jitted ``train_step`` whose batch is sharded over the mesh's
+``data`` axis: XLA inserts the gradient all-reduce over ICI (SURVEY.md §2.6 TPU
+equivalent). BatchNorm statistics are computed over the global batch (sync-BN
+semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(variables['params']),
+    )
+
+
+def make_train_step(model, loss_fn: Callable, tx,
+                    rng_names: tuple = ()) -> Callable:
+    """loss_fn(outputs, batch) → (loss, tb_dict).
+
+    Returns train_step(state, batch, rng) → (state, metrics).
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        rngs = (
+            {name: jax.random.fold_in(rng, i)
+             for i, name in enumerate(rng_names)}
+            if rng_names else None
+        )
+
+        def compute(params):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True, mutable=['batch_stats'],
+                rngs=rngs,
+            )
+            loss, tb = loss_fn(out, batch)
+            return loss, (tb, mut['batch_stats'])
+
+        (loss, (tb, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            'loss': loss,
+            'grad_norm': optax.global_norm(grads),
+            **tb,
+        }
+        return (
+            TrainState(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_stats, opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_data_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ('data',))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with leading batch dim onto the mesh's data axis."""
+    sharding = NamedSharding(mesh, P('data'))
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def jit_train_step(train_step, mesh: Mesh):
+    """Jit with batch sharded over data axis, state replicated."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
