@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: full-size T-MAE finetune model (CenterPoint + SiamWCA, ONCE 468x468
+grid) inference throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes no throughput number (SURVEY.md §6); its
+inference-speed harness exists but has no recorded output. The north star is
+"≥2x A100 frames/sec/chip". We document the assumed A100 reference throughput for
+this model at ~20 frames/sec (A100 CenterPoint-SST class models run 15-25 fps at
+batch 1 in OpenPCDet-style stacks), so vs_baseline = fps / (2 * 20).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+ASSUMED_A100_FPS = 20.0
+TARGET_FPS = 2 * ASSUMED_A100_FPS
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tmae_tpu.config import cfg_from_yaml_file
+    from tmae_tpu.datasets.dataset import build_dataloader
+    from tmae_tpu.models.detectors import build_detector, centerpoint_predict
+
+    cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False,
+        runtime_cfg=cfg.RUNTIME, seed=0,
+    )
+    model = build_detector(cfg)
+    batch = next(iter(loader))
+    dev_batch = {
+        k: jnp.asarray(v) for k, v in batch.items()
+        if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')
+    }
+    variables = model.init(jax.random.PRNGKey(0), dev_batch, train=False)
+
+    @jax.jit
+    def infer(variables, b):
+        out = model.apply(variables, b, train=False)
+        return centerpoint_predict(cfg, out)
+
+    # warmup / compile
+    jax.block_until_ready(infer(variables, dev_batch))
+    # timed reps (reference eval_infer_speed: 200 reps with warmup slicing,
+    # eval_utils.py:57-77; we use 30 reps to bound bench time)
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = infer(variables, dev_batch)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    fps = reps * dev_batch['points'].shape[0] / dt
+    print(json.dumps({
+        'metric': 'finetune_inference_frames_per_sec_per_chip',
+        'value': round(fps, 3),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

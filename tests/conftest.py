@@ -1,12 +1,20 @@
 """Test configuration: force an 8-virtual-device CPU platform so sharding logic is
-exercised without TPU hardware (SURVEY.md §4 test strategy)."""
+exercised without TPU hardware (SURVEY.md §4 test strategy).
+
+NOTE: this image's sitecustomize imports jax at interpreter boot (axon TPU tunnel),
+so env vars set here are too late — use jax.config.update, which works as long as
+no backend has been initialized yet.
+"""
 
 import os
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
-os.environ.setdefault('JAX_ENABLE_X64', '0')
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

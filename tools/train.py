@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Training CLI — the TPU-native counterpart of the reference ``tools/train.py``.
+
+Same public surface (cfg file + dotted overrides, batch size, epochs, pretrained
+transfer, auto-resume, post-train eval of the last checkpoints); process launch is
+``jax.distributed`` instead of torch.distributed, and the train step is a single
+jitted function whose batch is sharded over the device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmae_tpu.config import cfg_from_yaml_file, cfg_from_list, log_config_to_file
+from tmae_tpu.datasets.dataset import build_dataloader
+from tmae_tpu.models.detectors import (
+    build_detector, centerpoint_loss, tmae_loss,
+)
+from tmae_tpu.train.checkpoint import (
+    latest_checkpoint, load_pretrained_params, restore_checkpoint,
+    save_checkpoint,
+)
+from tmae_tpu.train.evaluator import eval_one_epoch
+from tmae_tpu.train.optimization import build_optimizer
+from tmae_tpu.train.trainer import (
+    TrainState, create_train_state, jit_train_step, make_data_mesh,
+    make_train_step, replicate_state, shard_batch,
+)
+
+
+def parse_config():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg_file', type=str, required=True)
+    parser.add_argument('--batch_size', type=int, default=None,
+                        help='global batch size (default: per-chip cfg x chips)')
+    parser.add_argument('--epochs', type=int, default=None)
+    parser.add_argument('--extra_tag', type=str, default='default')
+    parser.add_argument('--ckpt', type=str, default=None)
+    parser.add_argument('--pretrained_model', type=str, default=None)
+    parser.add_argument('--fix_random_seed', action='store_true')
+    parser.add_argument('--ckpt_save_interval', type=int, default=1)
+    parser.add_argument('--max_ckpt_save_num', type=int, default=5)
+    parser.add_argument('--num_epochs_to_eval', type=int, default=0)
+    parser.add_argument('--fixed_gap_eval', type=int, default=-1)
+    parser.add_argument('--set', dest='set_cfgs', default=None, nargs='*',
+                        help='set extra config keys')
+    args = parser.parse_args()
+    cfg = cfg_from_yaml_file(args.cfg_file)
+    if args.set_cfgs is not None:
+        cfg = cfg_from_list(args.set_cfgs, cfg)
+    return args, cfg
+
+
+def main():
+    args, cfg = parse_config()
+    n_dev = jax.device_count()
+    per_chip = int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
+    batch_size = args.batch_size or per_chip * n_dev
+    epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+    seed = 666 if args.fix_random_seed else int(time.time()) % 2 ** 31
+
+    out_dir = REPO / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
+    ckpt_dir = out_dir / 'ckpt'
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format='%(asctime)s %(levelname)s %(message)s',
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(
+                out_dir / f'log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt'
+            ),
+        ],
+    )
+    logger = logging.getLogger('train')
+    logger.info('devices: %s', jax.devices())
+    log_config_to_file(cfg, logger=logger)
+
+    dataset, loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=True,
+        runtime_cfg=cfg.RUNTIME, seed=seed,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    steps_per_epoch = len(loader)
+    logger.info('dataset: %d samples, %d steps/epoch', len(dataset),
+                steps_per_epoch)
+
+    model = build_detector(cfg)
+    is_mae = cfg.MODEL.NAME == 'TMAE'
+    init_batch = next(iter(loader))
+    init_inputs = {
+        k: jnp.asarray(v) for k, v in init_batch.items() if k != 'frame_id'
+    }
+    rngs = {'params': jax.random.PRNGKey(seed)}
+    if is_mae:
+        rngs['mae_mask'] = jax.random.PRNGKey(seed + 1)
+    variables = model.init(rngs, init_inputs, train=False)
+
+    if args.pretrained_model:
+        params, stats = load_pretrained_params(
+            args.pretrained_model, variables['params'],
+            variables.get('batch_stats', {}),
+        )
+        variables = {'params': params, 'batch_stats': stats}
+        logger.info('loaded pretrained model from %s', args.pretrained_model)
+
+    tx, lr_fn = build_optimizer(
+        dict(cfg.OPTIMIZATION, NUM_EPOCHS=epochs), steps_per_epoch
+    )
+    state = create_train_state(variables, tx)
+
+    start_epoch = 0
+    resume = args.ckpt or latest_checkpoint(ckpt_dir)
+    if resume:
+        state = restore_checkpoint(resume, state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        logger.info('resumed from %s (step %d, epoch %d)', resume,
+                    int(state.step), start_epoch)
+
+    if is_mae:
+        loss_fn = lambda out, batch: tmae_loss(cfg, out, batch)
+        rng_names = ('mae_mask',)
+    else:
+        loss_fn = lambda out, batch: centerpoint_loss(cfg, out, batch)
+        rng_names = ()
+    mesh = make_data_mesh()
+    train_step = jit_train_step(
+        make_train_step(model, loss_fn, tx, rng_names=rng_names), mesh
+    )
+    state = replicate_state(state, mesh)
+    base_rng = jax.random.PRNGKey(seed + 7)
+
+    metrics_log = open(out_dir / 'metrics.jsonl', 'a')
+    for epoch in range(start_epoch, epochs):
+        loader.set_epoch(epoch)
+        t_epoch = time.time()
+        data_t = fwd_t = 0.0
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            dev_batch = shard_batch(
+                {k: v for k, v in batch.items() if k != 'frame_id'}, mesh
+            )
+            data_t += time.time() - t0
+            t0 = time.time()
+            step_rng = jax.random.fold_in(base_rng, int(state.step))
+            state, metrics = train_step(state, dev_batch, step_rng)
+            if it % 20 == 0:
+                metrics = jax.device_get(metrics)
+                lr = float(lr_fn(int(state.step)))
+                logger.info(
+                    'epoch %d it %d/%d loss %.4f grad %.2f lr %.2e '
+                    'data %.2fs fwd %.2fs',
+                    epoch, it, steps_per_epoch, float(metrics['loss']),
+                    float(metrics['grad_norm']), lr, data_t, fwd_t,
+                )
+                metrics_log.write(json.dumps({
+                    'step': int(state.step), 'epoch': epoch,
+                    'loss': float(metrics['loss']), 'lr': lr,
+                }) + '\n')
+                metrics_log.flush()
+            fwd_t += time.time() - t0
+            t0 = time.time()
+        logger.info('epoch %d done in %.1fs', epoch, time.time() - t_epoch)
+        if (epoch + 1) % args.ckpt_save_interval == 0 and jax.process_index() == 0:
+            path = save_checkpoint(ckpt_dir, jax.device_get(state),
+                                   int(state.step), args.max_ckpt_save_num)
+            logger.info('saved %s', path)
+
+    # post-train eval (reference repeat_eval_ckpt role)
+    if not is_mae and args.num_epochs_to_eval > 0:
+        eval_cfg = cfg.clone()
+        if args.fixed_gap_eval >= 0:
+            eval_cfg.DATA_CONFIG.FIXED_GAP = args.fixed_gap_eval
+        eval_ds, eval_loader = build_dataloader(
+            eval_cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=False,
+            runtime_cfg=cfg.RUNTIME, seed=seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        ap_str, ap_dict = eval_one_epoch(
+            cfg, model, variables, eval_loader, eval_ds, cfg.CLASS_NAMES,
+            result_dir=out_dir / 'eval', logger=logger,
+        )
+        logger.info('%s', ap_str)
+
+
+if __name__ == '__main__':
+    main()
