@@ -78,7 +78,9 @@ def _merge_new_config(config: dict, new_config: dict, base_dir: Path) -> dict:
     for key, val in new_config.items():
         if key == '_BASE_CONFIG_':
             continue
-        if isinstance(val, dict) and isinstance(config.get(key), dict):
+        if isinstance(val, dict):
+            if not isinstance(config.get(key), dict):
+                config[key] = {}
             _merge_new_config(config[key], val, base_dir)
         else:
             config[key] = copy.deepcopy(val)

@@ -1,0 +1,124 @@
+"""Single-frame SST backbones (the GD-MAE family the reference inherits from).
+
+``SPTBackbone``: reference ``pcdet/models/backbones_3d/spt_backbone.py:356-442`` —
+stack of SSTBlocks + deblock fusion (no temporal branch).
+``SPTBackboneMAE``: reference ``spt_backbone_mae.py`` — random voxel mask → SST
+encode → dense decoder → per-voxel point prediction with Chamfer loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.voxelize import gather_from_grid
+from .siamwca import (
+    PyramidFuse, gather_gt_points, random_voxel_mask,
+)
+from .sst import SSTBlock, VoxelSet
+
+
+class SPTEncoder(nn.Module):
+    model_cfg: Any
+    max_voxels_per_level: Sequence[int]
+    window: int = 8
+
+    def _max_tokens(self, blk) -> int:
+        drop = blk['PREPROCESS']['DROP_INFO']['train']
+        return max(int(v['max_tokens']) for v in dict(drop).values())
+
+    @nn.compact
+    def __call__(self, vs: VoxelSet, train: bool):
+        hidden = []
+        x = vs
+        for i, b in enumerate(self.model_cfg['SST_BLOCK_LIST']):
+            x = SSTBlock(
+                encoder_cfg=dict(b['ENCODER']), window=self.window,
+                max_tokens=self._max_tokens(b),
+                max_voxels_out=self.max_voxels_per_level[i],
+                name=f'sst_block_{i}',
+            )(x, train)
+            hidden.append(x)
+        return hidden
+
+
+class SPTBackbone(nn.Module):
+    """Single-frame pyramid encode + dense fusion → stride-1 spatial features."""
+
+    model_cfg: Any
+    max_voxels_per_level: Sequence[int]
+
+    @nn.compact
+    def __call__(self, vs: VoxelSet, train: bool):
+        hidden = SPTEncoder(
+            self.model_cfg, self.max_voxels_per_level, name='encoder'
+        )(vs, train)
+        fuse_layers = [
+            dict(self.model_cfg['FUSE_LAYER'][src])
+            for src in self.model_cfg['FEATURES_SOURCE']
+        ]
+        dense_list = [h.to_dense() for h in hidden]
+        spatial = PyramidFuse(fuse_layers, name='fuse')(dense_list, train)
+        return spatial, hidden
+
+
+class SPTBackboneMAE(nn.Module):
+    """Single-frame MAE: mask → encode → decode → per-voxel point prediction
+    (spt_backbone_mae.py:94-156)."""
+
+    model_cfg: Any
+    max_voxels_per_level: Sequence[int]
+    voxel_size: tuple
+    pc_range: tuple
+
+    @nn.compact
+    def __call__(self, vs: VoxelSet, points_xyz, point_voxel, point_valid,
+                 train: bool, mask_rng=None):
+        mask_cfg = self.model_cfg['MASK_CONFIG']
+        ratio = float(mask_cfg['RATIO'])
+        n_pred = int(mask_cfg['NUM_PRD_POINTS'])
+        n_gt = int(mask_cfg['NUM_GT_POINTS'])
+
+        num_valid = jnp.sum(vs.mask, axis=1)
+        if mask_rng is None:
+            mask_rng = self.make_rng('mae_mask')
+        mae_mask = random_voxel_mask(mask_rng, vs.mask, num_valid, ratio)
+        visible = vs.mask & (mae_mask == 0.0)
+        vs_vis = VoxelSet(
+            feat=jnp.where(visible[..., None], vs.feat, 0.0),
+            coords=vs.coords, mask=visible, grid_hw=vs.grid_hw,
+        )
+
+        hidden = SPTEncoder(
+            self.model_cfg, self.max_voxels_per_level, name='encoder'
+        )(vs_vis, train)
+        fuse_layers = [
+            dict(self.model_cfg['FUSE_LAYER'][src])
+            for src in self.model_cfg['FEATURES_SOURCE']
+        ]
+        dense_list = [h.to_dense() for h in hidden]
+        spatial = PyramidFuse(fuse_layers, name='decoder_fuse')(dense_list, train)
+
+        V = vs.coords.shape[1]
+        pyr = gather_from_grid(spatial, vs.coords, vs.mask)
+        pred = nn.Dense(n_pred * 3, name='decoder_pred')(pyr)
+        pred = pred.reshape(pred.shape[0], V, n_pred, 3)
+
+        gt = gather_gt_points(points_xyz, point_voxel, point_valid, V, n_gt)
+        vsz = jnp.asarray(self.voxel_size, jnp.float32)
+        rng_ = jnp.asarray(self.pc_range, jnp.float32)
+        cx = (vs.coords[..., 1].astype(jnp.float32) + 0.5) * vsz[0] + rng_[0]
+        cy = (vs.coords[..., 0].astype(jnp.float32) + 0.5) * vsz[1] + rng_[1]
+        cz = jnp.full_like(cx, 0.5 * vsz[2] + rng_[2])
+        centers = jnp.stack([cx, cy, cz], axis=-1)
+        norm_gt = gt - centers[:, :, None, :]
+
+        return {
+            'pred_points': pred,
+            'gt_points': norm_gt,
+            'loss_weights': mae_mask * vs.mask.astype(jnp.float32),
+            'mae_mask': mae_mask,
+            'spatial_features': spatial,
+        }

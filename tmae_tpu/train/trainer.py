@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import (  # noqa: F401  (re-exported for callers)
+    jit_train_step, make_data_mesh, replicate_state, shard_batch,
+)
 
 
 @struct.dataclass
@@ -80,31 +83,3 @@ def make_train_step(model, loss_fn: Callable, tx,
         )
 
     return train_step
-
-
-def make_data_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ('data',))
-
-
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with leading batch dim onto the mesh's data axis."""
-    sharding = NamedSharding(mesh, P('data'))
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
-
-
-def replicate_state(state, mesh: Mesh):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
-
-
-def jit_train_step(train_step, mesh: Mesh):
-    """Jit with batch sharded over data axis, state replicated."""
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P('data'))
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
