@@ -27,6 +27,11 @@ TARGET_FPS = 2 * ASSUMED_A100_FPS
 
 def main():
     import jax
+
+    cache_dir = REPO / '.jax_cache'
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', str(cache_dir))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -45,7 +50,9 @@ def main():
         k: jnp.asarray(v) for k, v in batch.items()
         if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')
     }
-    variables = model.init(jax.random.PRNGKey(0), dev_batch, train=False)
+    variables = jax.jit(
+        lambda rng, b: model.init(rng, b, train=False)
+    )(jax.random.PRNGKey(0), dev_batch)
 
     @jax.jit
     def infer(variables, b):

@@ -1,11 +1,17 @@
-"""Detector shells: TMAE (pretrain) and CenterPoint (finetune/detect), plus the
-registry used by the train/eval harness.
+"""Detector shells + module registries.
 
-These mirror the reference's thin detector classes (``pcdet/models/detectors/
-{t_mae,centerpoint}.py``) on top of the module topology VFE → BACKBONE_3D →
-BACKBONE_2D → DENSE_HEAD (``detector3d_template.py:25-28``), but expose a
-functional interface: ``apply(variables, batch, train)`` returns predictions, and
-losses are pure functions of the outputs — the natural fit for jitted JAX training.
+Mirrors the reference's ``Detector3DTemplate.build_networks`` module topology
+(``detector3d_template.py:25-59``): VFE → BACKBONE_3D → BACKBONE_2D → DENSE_HEAD,
+each stage resolved by config NAME from a registry. Exposed detectors:
+
+  * ``CenterPoint`` — detection shell (``detectors/centerpoint.py``); works with the
+    temporal SiamWCA backbone (t_mae.yaml) or the single-frame SPTBackbone.
+  * ``TMAE`` — masked-autoencoder pretrain shell (``detectors/t_mae.py``) for
+    SiamWCA_MAE; ``GDMAE`` — single-frame variant (``detectors/gd_mae.py``) for
+    SPTBackboneMAE.
+
+The interface is functional: ``model.apply(variables, batch, train)`` returns
+outputs; losses are pure functions of outputs (natural fit for jitted training).
 
 Static batch layout (DESIGN.md §1):
   points [B, P, 4] (x, y, z, intensity), point_mask [B, P]
@@ -24,13 +30,16 @@ import numpy as np
 
 from ..ops.centernet import assign_center_targets
 from ..ops.voxelize import VoxelSpec
-from .bev import SSTBEVBackbone
-from .center_head import (
-    CenterHead, center_head_loss, decode_and_nms,
-)
+from .bev import BaseBEVBackbone, SSTBEVBackbone
+from .center_head import CenterHead, center_head_loss, decode_and_nms
 from .siamwca import SiamWCA, SiamWCA_MAE
+from .spt_backbone import SPTBackbone, SPTBackboneMAE
 from .sst import VoxelSet
-from .vfe import TemporalDynVFE
+from .vfe import TemporalDynVFE, DynVFE
+
+TEMPORAL_VFES = {'TemporalDynVFE'}
+TEMPORAL_BACKBONES = {'SiamWCA', 'SiamWCA_MAE'}
+MAE_BACKBONES = {'SiamWCA_MAE', 'SPTBackboneMAE'}
 
 
 def make_voxel_spec(data_cfg, runtime_cfg) -> VoxelSpec:
@@ -50,39 +59,75 @@ def _grid_hw(spec: VoxelSpec):
     return (ny, nx)
 
 
-class CenterPoint(nn.Module):
-    """Finetune detector: TemporalDynVFE → SiamWCA → SSTBEVBackbone → CenterHead
-    (reference ``detectors/centerpoint.py`` with the t_mae.yaml module stack)."""
+class _DetectorBase(nn.Module):
+    """Shared stage builders."""
 
     model_cfg: Any
     class_names: Sequence[str]
     spec: VoxelSpec
     max_voxels_per_level: Sequence[int]
 
-    @nn.compact
-    def __call__(self, batch, train: bool):
+    def _vfe(self, batch, train):
+        """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras)."""
         vfe_cfg = self.model_cfg['VFE']
-        cur, prv = TemporalDynVFE(
-            self.spec, mlps=[list(m) for m in vfe_cfg['MLPS']],
+        name = vfe_cfg['NAME']
+        hw = _grid_hw(self.spec)
+        kwargs = dict(
+            mlps=[list(m) for m in vfe_cfg['MLPS']],
             use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
             use_cluster_xyz=vfe_cfg.get('USE_CLUSTER_XYZ', True),
             with_distance=vfe_cfg.get('WITH_DISTANCE', False),
-            name='vfe',
-        )(batch['points'], batch['point_mask'],
-          batch['points_prev'], batch['point_mask_prev'], train)
-
-        hw = _grid_hw(self.spec)
+        )
+        if name == 'TemporalDynVFE':
+            cur, prv = TemporalDynVFE(self.spec, name='vfe', **kwargs)(
+                batch['points'], batch['point_mask'],
+                batch['points_prev'], batch['point_mask_prev'], train,
+            )
+            vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
+                              prv['voxel_mask'], hw)
+        elif name == 'DynVFE':
+            cur = DynVFE(self.spec, name='vfe', **kwargs)(
+                batch['points'], batch['point_mask'], train
+            )
+            vs_prv = None
+        else:
+            raise NotImplementedError(
+                f'VFE {name} requires host-voxelized inputs; use the dynamic VFEs'
+                ' for on-device voxelization'
+            )
         vs_cur = VoxelSet(cur['voxel_features'], cur['voxel_coords'],
                           cur['voxel_mask'], hw)
-        vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
-                          prv['voxel_mask'], hw)
-        spatial, _ = SiamWCA(
-            self.model_cfg['BACKBONE_3D'], self.max_voxels_per_level,
-            name='backbone_3d',
-        )(vs_cur, vs_prv, train)
-        spatial2d = SSTBEVBackbone(
-            self.model_cfg['BACKBONE_2D'], name='backbone_2d'
-        )(spatial, train)
+        return vs_cur, vs_prv, cur
+
+    def _backbone_2d(self, spatial, train):
+        cfg2d = self.model_cfg.get('BACKBONE_2D')
+        if cfg2d is None:
+            return spatial
+        name = cfg2d['NAME']
+        cls = {'SSTBEVBackbone': SSTBEVBackbone,
+               'BaseBEVBackbone': BaseBEVBackbone}[name]
+        return cls(cfg2d, name='backbone_2d')(spatial, train)
+
+
+class CenterPoint(_DetectorBase):
+    """Finetune/detection shell: VFE → (SiamWCA | SPTBackbone) → BACKBONE_2D →
+    CenterHead."""
+
+    @nn.compact
+    def __call__(self, batch, train: bool):
+        vs_cur, vs_prv, _ = self._vfe(batch, train)
+        b3d = self.model_cfg['BACKBONE_3D']
+        if b3d['NAME'] == 'SiamWCA':
+            spatial, _ = SiamWCA(
+                b3d, self.max_voxels_per_level, name='backbone_3d'
+            )(vs_cur, vs_prv, train)
+        elif b3d['NAME'] == 'SPTBackbone':
+            spatial, _ = SPTBackbone(
+                b3d, self.max_voxels_per_level, name='backbone_3d'
+            )(vs_cur, train)
+        else:
+            raise NotImplementedError(b3d['NAME'])
+        spatial2d = self._backbone_2d(spatial, train)
         pred_dicts = CenterHead(
             self.model_cfg['DENSE_HEAD'], len(self.class_names),
             self.class_names, self.spec.voxel_size, self.spec.pc_range,
@@ -91,44 +136,41 @@ class CenterPoint(nn.Module):
         return {'pred_dicts': pred_dicts, 'spatial_features_2d': spatial2d}
 
 
-class TMAE(nn.Module):
-    """Pretrain detector: TemporalDynVFE → SiamWCA_MAE (reference
-    ``detectors/t_mae.py``; loss comes from the backbone)."""
-
-    model_cfg: Any
-    class_names: Sequence[str]
-    spec: VoxelSpec
-    max_voxels_per_level: Sequence[int]
+class TMAE(_DetectorBase):
+    """Pretrain shell for the temporal MAE backbone (loss from backbone)."""
 
     @nn.compact
     def __call__(self, batch, train: bool, mask_rng=None):
-        vfe_cfg = self.model_cfg['VFE']
-        cur, prv = TemporalDynVFE(
-            self.spec, mlps=[list(m) for m in vfe_cfg['MLPS']],
-            use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
-            use_cluster_xyz=vfe_cfg.get('USE_CLUSTER_XYZ', True),
-            with_distance=vfe_cfg.get('WITH_DISTANCE', False),
-            name='vfe',
-        )(batch['points'], batch['point_mask'],
-          batch['points_prev'], batch['point_mask_prev'], train)
-
-        hw = _grid_hw(self.spec)
-        vs_cur = VoxelSet(cur['voxel_features'], cur['voxel_coords'],
-                          cur['voxel_mask'], hw)
-        vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
-                          prv['voxel_mask'], hw)
-        out = SiamWCA_MAE(
-            self.model_cfg['BACKBONE_3D'], self.max_voxels_per_level,
-            voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
-            name='backbone_3d',
-        )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
-          cur['point_valid'], train, mask_rng=mask_rng)
+        vs_cur, vs_prv, cur = self._vfe(batch, train)
+        b3d = self.model_cfg['BACKBONE_3D']
+        if b3d['NAME'] == 'SiamWCA_MAE':
+            out = SiamWCA_MAE(
+                b3d, self.max_voxels_per_level,
+                voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
+                name='backbone_3d',
+            )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
+              cur['point_valid'], train, mask_rng=mask_rng)
+        elif b3d['NAME'] == 'SPTBackboneMAE':
+            out = SPTBackboneMAE(
+                b3d, self.max_voxels_per_level,
+                voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
+                name='backbone_3d',
+            )(vs_cur, batch['points'][..., :3], cur['point_voxel'],
+              cur['point_valid'], train, mask_rng=mask_rng)
+        else:
+            raise NotImplementedError(b3d['NAME'])
         return out
+
+
+class GDMAE(TMAE):
+    """Single-frame MAE shell (reference ``detectors/gd_mae.py``); identical
+    functional surface to TMAE with a single-frame VFE/backbone config."""
 
 
 _DETECTORS = {
     'CenterPoint': CenterPoint,
     'TMAE': TMAE,
+    'GDMAE': GDMAE,
 }
 
 
@@ -164,7 +206,6 @@ def centerpoint_loss(cfg, outputs, batch):
     class_names = list(cfg['CLASS_NAMES'])
     groups = head_cfg['CLASS_NAMES_EACH_HEAD']
     target_dicts = []
-    offset = 0
     for names in groups:
         # remap labels into this group's local 1..len(names)
         gmap = np.zeros(len(class_names) + 1, np.int32)
@@ -184,7 +225,6 @@ def centerpoint_loss(cfg, outputs, batch):
             min_radius=int(head_cfg['TARGET_ASSIGNER_CONFIG']['MIN_RADIUS']),
         )
         target_dicts.append(td)
-        offset += len(names)
     lw = head_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']
     head_order = list(head_cfg['SEPARATE_HEAD_CFG']['HEAD_ORDER'])
     return center_head_loss(outputs['pred_dicts'], target_dicts, head_order, lw)

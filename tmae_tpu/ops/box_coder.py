@@ -1,0 +1,104 @@
+"""Box coders (reference ``pcdet/utils/box_coder_utils.py``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+class ResidualCoder:
+    """Anchor-residual encoding (box_coder_utils.py:5-79)."""
+
+    def __init__(self, code_size=7, encode_angle_by_sincos=False):
+        self.code_size = code_size + (1 if encode_angle_by_sincos else 0)
+        self.encode_angle_by_sincos = encode_angle_by_sincos
+
+    def encode(self, boxes, anchors):
+        """boxes [..., 7+], anchors [..., 7+] → [..., code_size]."""
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
+        xg, yg, zg, dxg, dyg, dzg, rg = jnp.split(boxes[..., :7], 7, axis=-1)
+        dxa = jnp.clip(dxa, 1e-5)
+        dya = jnp.clip(dya, 1e-5)
+        dza = jnp.clip(dza, 1e-5)
+        dxg = jnp.clip(dxg, 1e-5)
+        dyg = jnp.clip(dyg, 1e-5)
+        dzg = jnp.clip(dzg, 1e-5)
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xt = (xg - xa) / diag
+        yt = (yg - ya) / diag
+        zt = (zg - za) / dza
+        dxt = jnp.log(dxg / dxa)
+        dyt = jnp.log(dyg / dya)
+        dzt = jnp.log(dzg / dza)
+        if self.encode_angle_by_sincos:
+            rt = [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)]
+        else:
+            rt = [rg - ra]
+        extras = []
+        if boxes.shape[-1] > 7:
+            extras = [boxes[..., 7:] - anchors[..., 7:]]
+        return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rt, *extras], axis=-1)
+
+    def decode(self, encodings, anchors):
+        xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
+        if self.encode_angle_by_sincos:
+            xt, yt, zt, dxt, dyt, dzt = jnp.split(
+                encodings[..., :6], 6, axis=-1
+            )
+            cost = encodings[..., 6:7]
+            sint = encodings[..., 7:8]
+            extras = encodings[..., 8:]
+        else:
+            xt, yt, zt, dxt, dyt, dzt, rt = jnp.split(
+                encodings[..., :7], 7, axis=-1
+            )
+            extras = encodings[..., 7:]
+        diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+        xg = xt * diag + xa
+        yg = yt * diag + ya
+        zg = zt * dza + za
+        dxg = jnp.exp(dxt) * dxa
+        dyg = jnp.exp(dyt) * dya
+        dzg = jnp.exp(dzt) * dza
+        if self.encode_angle_by_sincos:
+            rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
+        else:
+            rg = rt + ra
+        out = [xg, yg, zg, dxg, dyg, dzg, rg]
+        if extras.shape[-1]:
+            out.append(extras + anchors[..., 7:])
+        return jnp.concatenate(out, axis=-1)
+
+
+def limit_period(val, offset=0.5, period=jnp.pi):
+    return val - jnp.floor(val / period + offset) * period
+
+
+def aligned_bev_boxes(boxes):
+    """[..., 7] → axis-aligned BEV [x1, y1, x2, y2]
+    (box_utils.boxes3d_lidar_to_aligned_bev_boxes): dims swapped when the wrapped
+    heading is closer to ±pi/2."""
+    rot = jnp.abs(limit_period(boxes[..., 6], 0.5, jnp.pi))
+    swap = rot > jnp.pi / 4
+    dx = jnp.where(swap, boxes[..., 4], boxes[..., 3])
+    dy = jnp.where(swap, boxes[..., 3], boxes[..., 4])
+    return jnp.stack([
+        boxes[..., 0] - dx / 2, boxes[..., 1] - dy / 2,
+        boxes[..., 0] + dx / 2, boxes[..., 1] + dy / 2,
+    ], axis=-1)
+
+
+def nearest_bev_iou(boxes_a, boxes_b):
+    """Axis-aligned nearest-BEV IoU [N, M]
+    (box_utils.boxes3d_nearest_bev_iou)."""
+    a = aligned_bev_boxes(boxes_a)[:, None, :]
+    b = aligned_bev_boxes(boxes_b)[None, :, :]
+    ix = jnp.clip(
+        jnp.minimum(a[..., 2], b[..., 2]) - jnp.maximum(a[..., 0], b[..., 0]), 0
+    )
+    iy = jnp.clip(
+        jnp.minimum(a[..., 3], b[..., 3]) - jnp.maximum(a[..., 1], b[..., 1]), 0
+    )
+    inter = ix * iy
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    return inter / jnp.clip(area_a + area_b - inter, 1e-6)
