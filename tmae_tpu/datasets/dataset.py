@@ -84,7 +84,11 @@ class DatasetTemplate:
         return data
 
     def collate_batch(self, samples):
-        return collate_static(samples, self.max_points, self.max_gt)
+        mv = self.runtime_cfg.get('MAX_VOXELS')
+        return collate_static(
+            samples, self.max_points, self.max_gt,
+            max_voxels=int(mv[0]) if mv else None,
+        )
 
     def __len__(self):  # pragma: no cover - abstract
         raise NotImplementedError

@@ -153,7 +153,7 @@ def pad_to(arr, n, axis=0):
     return out, mask
 
 
-def collate_static(samples, max_points, max_gt):
+def collate_static(samples, max_points, max_gt, max_voxels=None):
     """Static-shape batch: replaces the reference's ragged ``collate_batch``
     (dataset.py:190-239) with fixed [B, P, C] / [B, M, 8] arrays + masks."""
     B = len(samples)
@@ -187,5 +187,24 @@ def collate_static(samples, max_points, max_gt):
         out.update({'points_prev': points_prev, 'point_mask_prev': pmask_prev})
     if has_gt:
         out.update({'gt_boxes': gt, 'gt_mask': gmask})
+    # host-voxelized inputs (transform_points_to_voxels path)
+    if 'voxels' in keys:
+        Vmax = max_voxels or max(len(s['voxels']) for s in samples)
+        T, Cv = samples[0]['voxels'].shape[1:]
+        voxels = np.zeros((B, Vmax, T, Cv), np.float32)
+        vnum = np.zeros((B, Vmax), np.int64)
+        vcoords = np.zeros((B, Vmax, 2), np.int32)
+        vmask = np.zeros((B, Vmax), bool)
+        for b, s in enumerate(samples):
+            n = min(len(s['voxels']), Vmax)
+            s = {k: (v[:n] if k in ('voxels', 'voxel_num_points',
+                                    'voxel_coords_zyx') else v)
+                 for k, v in s.items()}
+            voxels[b, :n] = s['voxels']
+            vnum[b, :n] = s['voxel_num_points']
+            vcoords[b, :n] = s['voxel_coords_zyx'][:, 1:3]  # (y, x)
+            vmask[b, :n] = True
+        out.update({'voxels': voxels, 'voxel_num_points': vnum,
+                    'voxel_coords': vcoords, 'voxel_mask': vmask})
     out['frame_id'] = frame_ids
     return out

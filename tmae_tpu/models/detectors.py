@@ -167,10 +167,13 @@ class GDMAE(TMAE):
     functional surface to TMAE with a single-frame VFE/backbone config."""
 
 
+from .pointpillar import PointPillar  # noqa: E402
+
 _DETECTORS = {
     'CenterPoint': CenterPoint,
     'TMAE': TMAE,
     'GDMAE': GDMAE,
+    'PointPillar': PointPillar,
 }
 
 
