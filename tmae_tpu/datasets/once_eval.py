@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops.geometry_np import boxes_iou3d, boxes_iou3d_with_heading
+from ..utils import native
 
 IOU_THRESHOLD_DICT = {
     'Car': 0.7, 'Bus': 0.7, 'Truck': 0.7, 'Pedestrian': 0.3, 'Cyclist': 0.5,
@@ -195,21 +196,33 @@ def get_evaluation_results(gt_annos, pred_annos, classes, use_superclass=True,
                 gt_flags.append(gflag)
                 pred_flags.append(pflag)
                 num_valid_gt += int((gflag == 0).sum())
-                accum_all.append(
-                    accumulate_scores(ious[si], np.asarray(p['score']),
-                                      gflag, pflag, iou_th)
-                )
+                scores_si = np.asarray(p['score'], np.float64)
+                acc = native.accumulate_scores(ious[si], scores_si, gflag,
+                                               pflag, iou_th)
+                if acc is None:
+                    acc = accumulate_scores(ious[si], scores_si, gflag, pflag,
+                                            iou_th)
+                accum_all.append(acc)
             all_scores = np.concatenate(accum_all) if accum_all else np.zeros(0)
             if num_valid_gt == 0:
                 continue
             thresholds = get_thresholds(all_scores.copy(), num_valid_gt,
                                         num_pr_points)
             confusion = np.zeros([len(thresholds), 3])
+            th_arr = np.asarray(thresholds, np.float64)
             for si in range(num_samples):
                 p = pred_annos[si]
+                scores_si = np.asarray(p['score'], np.float64)
+                stats = native.compute_statistics_all(
+                    ious[si], scores_si, gt_flags[si], pred_flags[si],
+                    th_arr, iou_th,
+                )
+                if stats is not None:
+                    confusion += stats
+                    continue
                 for ti, th in enumerate(thresholds):
                     tp, fp, fn = compute_statistics(
-                        ious[si], np.asarray(p['score']), gt_flags[si],
+                        ious[si], scores_si, gt_flags[si],
                         pred_flags[si], score_threshold=th, iou_threshold=iou_th,
                     )
                     confusion[ti, 0] += tp

@@ -103,7 +103,14 @@ def _pairwise_intersection_area(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.
 
 
 def intersection_area_bev(boxes_a, boxes_b, chunk: int = 256) -> np.ndarray:
-    """Chunked pairwise BEV intersection area (bounded peak memory)."""
+    """Pairwise BEV intersection area. Uses the native C++ host-ops library when
+    available (tmae_tpu/csrc/host_ops.cpp), else the chunked vectorized numpy
+    path (bounded peak memory)."""
+    from ..utils import native
+    out = native.intersection_area_bev(np.asarray(boxes_a, np.float64),
+                                       np.asarray(boxes_b, np.float64))
+    if out is not None:
+        return out
     N = len(boxes_a)
     out = np.zeros((N, len(boxes_b)))
     for i in range(0, N, chunk):
