@@ -178,6 +178,7 @@ def build_dataloader(dataset_cfg, class_names, batch_size, training,
                      process_index=0, process_count=1):
     name = dataset_cfg.get('DATASET', 'SyntheticONCEDataset')
     from . import once_temporal  # noqa: F401  (registers datasets)
+    from . import waymo_temporal  # noqa: F401
     cls = _DATASETS[name]
     ds = cls(dataset_cfg, class_names, training=training,
              root_path=root_path or dataset_cfg.get('DATA_PATH'),
