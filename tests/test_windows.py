@@ -45,11 +45,21 @@ def test_partition_shifted():
     assert np.asarray(wp1.win_slot[0])[0] != np.asarray(wp1.win_slot[0])[1]
 
 
-def test_inner_rank_deterministic_and_dense():
+def test_inner_slot_unique_within_window():
+    # fast path (max_tokens == 64): slot is the positional index — unique, < 64
     c, m = mk([(0, 0), (0, 1), (1, 0), (8, 8)])
     wp = window_partition(c, m, (32, 32), window=8, shift=False)
     r = np.asarray(wp.inner_rank[0])[:4]
-    assert sorted(r[:3].tolist()) == [0, 1, 2]  # ranks dense within window
+    assert len(set(r[:3].tolist())) == 3 and r[:3].max() < 64
+    assert np.asarray(wp.keep[0])[:4].all()
+
+
+def test_inner_rank_dense_when_capped():
+    # sort-based path (max_tokens < window^2): ranks are dense 0..n-1
+    c, m = mk([(0, 0), (0, 1), (1, 0), (8, 8)])
+    wp = window_partition(c, m, (32, 32), window=8, shift=False, max_tokens=4)
+    r = np.asarray(wp.inner_rank[0])[:4]
+    assert sorted(r[:3].tolist()) == [0, 1, 2]
     assert r[3] == 0
 
 

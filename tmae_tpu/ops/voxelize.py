@@ -85,6 +85,32 @@ def _unique_static(ids: jnp.ndarray, sentinel: int, num_out: int):
     return slot_ids, point_slot, count
 
 
+def _grid_compact(ids: jnp.ndarray, num_cells: int, num_out: int):
+    """Sort-free 'unique' of cell ids [N] (invalid = num_cells) via occupancy +
+    prefix-sum compaction — O(num_cells) instead of O(N log N), the TPU-friendly
+    replacement for the sort-based path (sorts are the latency killer on TPU).
+    Output slots are ordered by ascending cell id (deterministic, same order the
+    sort-based path produced). Returns (slot_cell_ids [num_out], point_slot [N],
+    count)."""
+    occ = jnp.zeros((num_cells + 1,), jnp.int32).at[ids].max(
+        1, mode='drop'
+    )[:num_cells]
+    prefix = jnp.cumsum(occ)
+    count = jnp.minimum(prefix[-1], num_out)
+    slot_of_cell = prefix - 1  # valid where occ == 1
+    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (num_cells, 1), 0)[:, 0]
+    dest = jnp.where((occ == 1) & (slot_of_cell < num_out), slot_of_cell, num_out)
+    slot_cell_ids = (
+        jnp.full((num_out + 1,), num_cells, jnp.int32)
+        .at[dest].set(cell_ids, mode='drop')[:num_out]
+    )
+    safe_ids = jnp.minimum(ids, num_cells - 1)
+    point_slot = slot_of_cell[safe_ids]
+    point_valid_slot = (ids < num_cells) & (point_slot < num_out) & (point_slot >= 0)
+    point_slot = jnp.where(point_valid_slot, point_slot, num_out)
+    return slot_cell_ids, point_slot, count
+
+
 @partial(jax.jit, static_argnames=('spec',))
 def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray, spec: VoxelSpec):
     """Assign points to pillars. Returns dict with:
@@ -100,7 +126,7 @@ def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray, spec: VoxelSpec):
     ids = jnp.where(valid, coords[..., 1] * nx + coords[..., 0], sentinel)
 
     slot_ids, point_slot, counts = jax.vmap(
-        lambda i: _unique_static(i, sentinel, V)
+        lambda i: _grid_compact(i, sentinel, V)
     )(ids)
 
     voxel_mask = slot_ids < sentinel
@@ -192,7 +218,7 @@ def downsample_coords(coords_yx: jnp.ndarray, mask: jnp.ndarray, grid_hw: tuple,
     """Active output set of a stride-2, k=3, p=1 sparse conv (spconv SparseConv2d
     semantics: every output cell whose 3x3 receptive field touches an active input).
     Input voxel y maps to output rows {y//2, (y+1)//2} (and same for x), i.e. up to 4
-    candidate cells per voxel; deduplicate with the static unique.
+    candidate cells per voxel; deduplicated sort-free via grid compaction.
     Returns new (coords [B, Vout, 2], mask [B, Vout])."""
     H, W = grid_hw
     Ho, Wo = (H + 1) // 2, (W + 1) // 2
@@ -208,7 +234,7 @@ def downsample_coords(coords_yx: jnp.ndarray, mask: jnp.ndarray, grid_hw: tuple,
     ids = jnp.where(mask[..., None], yy * Wo + xx, sentinel)
     B = ids.shape[0]
     ids = ids.reshape(B, -1)
-    slot_ids, _, _ = jax.vmap(lambda i: _unique_static(i, sentinel, max_out))(ids)
+    slot_ids, _, _ = jax.vmap(lambda i: _grid_compact(i, sentinel, max_out))(ids)
     new_mask = slot_ids < sentinel
     ny_ = jnp.where(new_mask, slot_ids // Wo, 0).astype(jnp.int32)
     nx_ = jnp.where(new_mask, slot_ids % Wo, 0).astype(jnp.int32)

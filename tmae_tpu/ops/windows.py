@@ -79,7 +79,12 @@ def _inner_rank(win_ids: jnp.ndarray, nw: int):
 def window_partition(coords_yx: jnp.ndarray, valid: jnp.ndarray, grid_hw: tuple,
                      window: int = 8, shift: bool = False,
                      max_tokens: int = 64) -> WindowPartition:
-    """coords_yx [B, V, 2] int32, valid [B, V] → WindowPartition."""
+    """coords_yx [B, V, 2] int32, valid [B, V] → WindowPartition.
+
+    Fast path: when ``max_tokens == window**2`` (every T-MAE config) the in-window
+    slot is simply the positional index ``iy*window + ix`` — unique per pillar,
+    no ranking needed, zero sorts. Only exotic max_tokens < window**2 configs pay
+    for the deterministic sort-based ranking."""
     nwy, nwx = num_windows(grid_hw, window)
     nw = nwy * nwx
     off = window // 2 if shift else window
@@ -88,9 +93,14 @@ def window_partition(coords_yx: jnp.ndarray, valid: jnp.ndarray, grid_hw: tuple,
     wy, wx = y // window, x // window
     # window id ordering matches sst_utils.py:49-52 (x-major), z collapsed
     win = jnp.where(valid, wx * nwy + wy, nw).astype(jnp.int32)
-    rank = jax.vmap(lambda w: _inner_rank(w, nw))(win)
+    iy = (y % window).astype(jnp.int32)
+    ix = (x % window).astype(jnp.int32)
+    if max_tokens == window * window:
+        rank = iy * window + ix
+    else:
+        rank = jax.vmap(lambda w: _inner_rank(w, nw))(win)
     keep = valid & (rank < max_tokens)
-    pos_yx = jnp.stack([(y % window), (x % window)], axis=-1).astype(jnp.float32)
+    pos_yx = jnp.stack([iy, ix], axis=-1).astype(jnp.float32)
     return WindowPartition(
         win_slot=win, inner_rank=rank, keep=keep, pos_yx=pos_yx, nw=nw,
         max_tokens=max_tokens,
