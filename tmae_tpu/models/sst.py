@@ -100,6 +100,13 @@ class CosineWindowAttention(nn.Module):
         return nn.Dense(C, name='out_proj')(out)
 
 
+def _activation(name):
+    """Exact (non-approximate) GELU to match torch F.gelu for checkpoint parity."""
+    if name == 'gelu':
+        return lambda x: nn.gelu(x, approximate=False)
+    return getattr(nn, name)
+
+
 class EncoderLayer(nn.Module):
     """Window self-attention + FFN with post-LN residuals (reference
     ``EncoderLayer``, sst_basic_block.py:57-84). Dropout is 0 in all T-MAE configs."""
@@ -117,8 +124,9 @@ class EncoderLayer(nn.Module):
             self.d_model, self.nhead, cosine=self.cosine, tau_min=self.tau_min,
         )(feat, pos, wp, feat, pos, wp)
         x = nn.LayerNorm()(feat + attn)
-        act = getattr(nn, self.activation)
-        ff = nn.Dense(self.d_model)(act(nn.Dense(self.dim_feedforward)(x)))
+        ff = nn.Dense(self.d_model)(
+            _activation(self.activation)(nn.Dense(self.dim_feedforward)(x))
+        )
         return nn.LayerNorm()(x + ff)
 
 

@@ -38,8 +38,10 @@ class WCAEncoderLayer(nn.Module):
         # only voxels kept by the coupled partition receive the update
         # (src[keep_inds] += ..., wca_block.py:96-98); everyone is LayerNormed.
         x = nn.LayerNorm()(feat + jnp.where(wp.keep[..., None], attn, 0.0))
-        act = getattr(nn, self.activation)
-        ff = nn.Dense(self.d_model)(act(nn.Dense(self.dim_feedforward)(x)))
+        from .sst import _activation
+        ff = nn.Dense(self.d_model)(
+            _activation(self.activation)(nn.Dense(self.dim_feedforward)(x))
+        )
         return nn.LayerNorm()(x + ff)
 
 
