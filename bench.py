@@ -37,7 +37,9 @@ def main():
 
     from tmae_tpu.config import cfg_from_yaml_file
     from tmae_tpu.datasets.dataset import build_dataloader
-    from tmae_tpu.models.detectors import build_detector, centerpoint_predict
+    from tmae_tpu.models.detectors import (
+        build_detector, centerpoint_predict, host_nms,
+    )
 
     cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
     dataset, loader = build_dataloader(
@@ -57,17 +59,23 @@ def main():
     @jax.jit
     def infer(variables, b):
         out = model.apply(variables, b, train=False)
-        return centerpoint_predict(cfg, out)
+        # decode on device; rotated NMS runs on host (C++ host-ops)
+        return centerpoint_predict(cfg, out, nms_on_device=False)
 
-    # warmup / compile
-    jax.block_until_ready(infer(variables, dev_batch))
+    def full_infer(b):
+        boxes, scores, labels, valid = jax.device_get(infer(variables, b))
+        valid = host_nms(cfg, boxes, scores, labels, valid)
+        return valid
+
+    # warmup / compile (includes the host-NMS library build)
+    full_infer(dev_batch)
     # timed reps (reference eval_infer_speed: 200 reps with warmup slicing,
-    # eval_utils.py:57-77; we use 30 reps to bound bench time)
-    reps = 30
+    # eval_utils.py:57-77; we use 20 reps to bound bench time). Each rep fetches
+    # results to host and runs NMS there — a full end-to-end inference.
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = infer(variables, dev_batch)
-    jax.block_until_ready(res)
+        res = full_infer(dev_batch)
     dt = time.perf_counter() - t0
     fps = reps * dev_batch['points'].shape[0] / dt
     print(json.dumps({

@@ -136,7 +136,8 @@ def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
 
 
 def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
-                   feature_map_stride: int, class_id_maps):
+                   feature_map_stride: int, class_id_maps,
+                   nms_on_device: bool = True):
     """Static-shape decode + per-sample class-agnostic rotated NMS
     (center_head.py:281-343 + model_nms_utils.py:6-25).
 
@@ -181,6 +182,8 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
     labels = jnp.take_along_axis(labels, order, axis=1)
     valid = jnp.take_along_axis(valid, order, axis=1)
 
+    if not nms_on_device:
+        return boxes, scores, labels, valid
     keep = jax.vmap(
         lambda b, s, v: geo.nms_bev_mask(
             b, s, v, float(nms_cfg['NMS_THRESH']), int(nms_cfg['NMS_POST_MAXSIZE'])

@@ -238,8 +238,12 @@ def tmae_loss(cfg, outputs, batch):
     return loss, {'loss_rpn': loss}
 
 
-def centerpoint_predict(cfg, outputs):
-    """Decode + NMS → (boxes [B,K,7], scores, labels 1-indexed, valid)."""
+def centerpoint_predict(cfg, outputs, nms_on_device: bool = True):
+    """Decode + NMS → (boxes [B,K,7], scores, labels 1-indexed, valid).
+
+    ``nms_on_device=False`` decodes on device and leaves the rotated NMS to
+    ``host_nms`` (the C++ host-ops path) — K=500 candidate boxes are a trivial
+    transfer, and host NMS avoids burning device time on an irregular kernel."""
     head_cfg = cfg['MODEL']['DENSE_HEAD']
     spec = make_voxel_spec(cfg['DATA_CONFIG'], cfg['RUNTIME'])
     stride = int(head_cfg['TARGET_ASSIGNER_CONFIG'].get('FEATURE_MAP_STRIDE', 1))
@@ -251,4 +255,32 @@ def centerpoint_predict(cfg, outputs):
     return decode_and_nms(
         outputs['pred_dicts'], dict(head_cfg['POST_PROCESSING']),
         spec.voxel_size, spec.pc_range, stride, id_maps,
+        nms_on_device=nms_on_device,
     )
+
+
+def host_nms(cfg, boxes, scores, labels, valid):
+    """Greedy rotated-BEV NMS on host arrays (native C++ with numpy fallback),
+    applied per sample to score-sorted candidates from ``centerpoint_predict(...,
+    nms_on_device=False)``. Returns the updated valid mask."""
+    from ..ops.geometry_np import nms_bev
+    from ..utils import native
+    nms_cfg = cfg['MODEL']['DENSE_HEAD']['POST_PROCESSING']['NMS_CONFIG']
+    thresh = float(nms_cfg['NMS_THRESH'])
+    post = int(nms_cfg['NMS_POST_MAXSIZE'])
+    boxes = np.asarray(boxes)
+    valid = np.asarray(valid).copy()
+    for b in range(boxes.shape[0]):
+        n = int(valid[b].sum())
+        if n == 0:
+            continue
+        # candidates are sorted by score desc with valid first
+        cand = boxes[b, :n, :7].astype(np.float64)
+        keep = native.nms_bev_sorted(cand, thresh, post)
+        if keep is None:
+            kept_idx = nms_bev(cand, np.asarray(scores[b, :n]), thresh,
+                               post_maxsize=post)
+            keep = np.zeros(n, bool)
+            keep[kept_idx] = True
+        valid[b, :n] &= keep
+    return valid

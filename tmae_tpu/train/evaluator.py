@@ -16,16 +16,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.detectors import centerpoint_predict
+from ..models.detectors import centerpoint_predict, host_nms
 
 log = logging.getLogger(__name__)
 
 
 def make_eval_step(model, cfg):
+    """Device forward + decode; the rotated NMS runs on host (C++ host-ops) over
+    the K=500 decoded candidates per sample."""
+
     @jax.jit
     def eval_step(variables, batch):
         out = model.apply(variables, batch, train=False)
-        return centerpoint_predict(cfg, out)
+        return centerpoint_predict(cfg, out, nms_on_device=False)
 
     return eval_step
 
@@ -42,9 +45,10 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in model_inputs}
         t0 = time.perf_counter()
-        boxes, scores, labels, valid = jax.block_until_ready(
+        boxes, scores, labels, valid = jax.device_get(
             eval_step(variables, dev_batch)
         )
+        valid = host_nms(cfg, boxes, scores, labels, valid)
         infer_time += time.perf_counter() - t0
         n_samples += len(batch['frame_id'])
         det_annos += dataset.generate_prediction_dicts(
