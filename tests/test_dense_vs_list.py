@@ -69,7 +69,20 @@ def test_dense_attention_matches_list(shift):
     vs = VoxelSet(feat=feat, coords=coords, mask=mask, grid_hw=grid_hw)
     g = DenseGrid(x=vs.to_dense(), occ=vs.occupancy())
     dense_mod = DenseWindowAttention(d_model=16, nhead=4, window=8, shift=shift)
-    out_dense_grid = dense_mod.apply(vars_l, g)  # same params
+    # dense self-attn uses flat params with a fused qk projection
+    pl = vars_l['params']
+    vars_d = {'params': {
+        'qk_kernel': jnp.concatenate(
+            [pl['q_proj']['kernel'], pl['k_proj']['kernel']], axis=1),
+        'qk_bias': jnp.concatenate(
+            [pl['q_proj']['bias'], pl['k_proj']['bias']]),
+        'v_kernel': pl['v_proj']['kernel'],
+        'v_bias': pl['v_proj']['bias'],
+        'out_kernel': pl['out_proj']['kernel'],
+        'out_bias': pl['out_proj']['bias'],
+        'tau': pl['tau'],
+    }}
+    out_dense_grid = dense_mod.apply(vars_d, g)
 
     # compare at voxel positions
     from tmae_tpu.ops.voxelize import gather_from_grid

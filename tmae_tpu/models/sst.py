@@ -94,7 +94,11 @@ def _activation(name):
 class DenseWindowAttention(nn.Module):
     """Cosine multi-head attention over dense window views (reference
     ``CosineMultiheadAttention``, cosine_msa.py:114-176,441-528). Cross-attention
-    = different kv grid (the WCA case)."""
+    = different kv grid (the WCA case).
+
+    Two equivalent executions over one parameter set: the fused Pallas kernel
+    (``ops/pallas_attn.py``, default on TPU) and a jnp reference path (CPU /
+    fallback). Self-attention fuses the q/k projections into one matmul."""
 
     d_model: int
     nhead: int
@@ -102,64 +106,70 @@ class DenseWindowAttention(nn.Module):
     shift: bool
     cosine: bool = True
     tau_min: float = 0.01
+    use_pallas: bool | None = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
-        C, H_, w = self.d_model, self.nhead, self.window
-        D = C // H_
-        kv = kv_grid if kv_grid is not None else grid
+        from ..ops import pallas_attn
+
+        assert self.cosine, (
+            'DenseWindowAttention implements the cosine variant used by every '
+            'T-MAE config; plain dot-product attention lives in the list path'
+        )
+        C, w = self.d_model, self.window
+        cross = kv_grid is not None
         dt = COMPUTE_DTYPE
+        kinit = nn.initializers.lecun_normal()
+        zinit = nn.initializers.zeros
 
         xw = window_view(grid.x.astype(dt), w, self.shift)  # [B, NW, T, C]
         kvw = (
-            xw if kv_grid is None
-            else window_view(kv.x.astype(dt), w, self.shift)
+            xw if not cross
+            else window_view(kv_grid.x.astype(dt), w, self.shift)
         )
-        qmask = window_view(
-            grid.occ[..., None].astype(jnp.float32), w, self.shift
-        )[..., 0] > 0
-        kmask = (
-            qmask if kv_grid is None
-            else window_view(
-                kv.occ[..., None].astype(jnp.float32), w, self.shift
-            )[..., 0] > 0
-        )
+        src_occ = (kv_grid if cross else grid).occ
+        kmask = window_view(
+            src_occ[..., None].astype(jnp.float32), w, self.shift
+        )[..., 0]
         pos = slot_pos_embed(w, C).astype(dt)  # [T, C] constant
 
-        q = nn.Dense(C, name='q_proj', dtype=dt)(xw + pos)
-        k = nn.Dense(C, name='k_proj', dtype=dt)(kvw + pos)
-        v = nn.Dense(C, name='v_proj', dtype=dt)(kvw)
-
-        B, NW, T, _ = q.shape
-        qh = q.reshape(B, NW, T, H_, D)
-        kh = k.reshape(B, NW, T, H_, D)
-        vh = v.reshape(B, NW, T, H_, D)
-        if self.cosine:
-            tau = self.param('tau', nn.initializers.ones, (1,))
-            qh = qh * jax.lax.rsqrt(
-                jnp.sum(jnp.square(qh.astype(jnp.float32)), -1, keepdims=True)
-                + 1e-24
-            ).astype(dt)
-            kh = kh * jax.lax.rsqrt(
-                jnp.sum(jnp.square(kh.astype(jnp.float32)), -1, keepdims=True)
-                + 1e-24
-            ).astype(dt)
-            logits = jnp.einsum(
-                'bwqhd,bwkhd->bwhqk', qh, kh,
-                preferred_element_type=jnp.float32,
-            )
-            logits = logits / jnp.maximum(tau, self.tau_min)
+        if cross:
+            wq = self.param('q_kernel', kinit, (C, C))
+            bq = self.param('q_bias', zinit, (C,))
+            wk = self.param('k_kernel', kinit, (C, C))
+            bk = self.param('k_bias', zinit, (C,))
         else:
-            logits = jnp.einsum(
-                'bwqhd,bwkhd->bwhqk', qh, kh,
-                preferred_element_type=jnp.float32,
-            ) / jnp.sqrt(D)
-        logits = jnp.where(kmask[:, :, None, None, :], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1)
-        any_key = jnp.any(kmask, axis=-1)[:, :, None, None, None]
-        attn = jnp.where(any_key, attn, 0.0).astype(dt)
-        out = jnp.einsum('bwhqk,bwkhd->bwqhd', attn, vh).reshape(B, NW, T, C)
-        out = nn.Dense(C, name='out_proj', dtype=dt)(out)
+            wqk = self.param('qk_kernel', kinit, (C, 2 * C))
+            bqk = self.param('qk_bias', zinit, (2 * C,))
+            wq, wk = wqk[:, :C], wqk[:, C:]
+            bq, bk = bqk[:C], bqk[C:]
+        wv = self.param('v_kernel', kinit, (C, C))
+        bv = self.param('v_bias', zinit, (C,))
+        wo = self.param('out_kernel', kinit, (C, C))
+        bo = self.param('out_bias', zinit, (C,))
+        tau = self.param('tau', nn.initializers.ones, (1,))
+
+        B, NW, T, _ = xw.shape
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() not in ('cpu',)
+                and self.cosine and C % 128 == 0 and T % 8 == 0
+            )
+        flat = lambda a: a.reshape(B * NW, *a.shape[2:])
+        if use_pallas:
+            out = pallas_attn.fused_window_attention(
+                flat(xw), flat(kvw), flat(kmask), pos,
+                wq, bq, wk, bk, wv, bv, wo, bo, tau,
+                self.nhead, self.tau_min, cross,
+            )
+        else:
+            out = pallas_attn._reference_forward(
+                flat(xw), flat(kvw), flat(kmask), pos,
+                wq, bq, wk, bk, wv, bv, wo, bo, tau,
+                self.nhead, self.tau_min, cross,
+            )
+        out = out.reshape(B, NW, T, C)
         out = window_unview(out, grid.grid_hw, w, self.shift)
         return jnp.where(grid.occ[..., None], out, 0.0).astype(jnp.float32)
 

@@ -109,11 +109,26 @@ def convert_state_dict(sd: dict) -> tuple:
         proj = mha_in_proj(get(f'{tsrc}.win_attn.{attn}.in_proj_weight'),
                            sd.get(f'{tsrc}.win_attn.{attn}.in_proj_bias'))
         base = path + ['CosineWindowAttention_0']
-        for k, v in proj.items():
-            _set(params, base + [k], v)
-        _set(params, base + ['out_proj'],
-             linear(get(f'{tsrc}.win_attn.{attn}.out_proj.weight'),
-                    get(f'{tsrc}.win_attn.{attn}.out_proj.bias')))
+        if cross:
+            _set(params, base + ['q_kernel'], proj['q_proj']['kernel'])
+            _set(params, base + ['k_kernel'], proj['k_proj']['kernel'])
+            if 'bias' in proj['q_proj']:
+                _set(params, base + ['q_bias'], proj['q_proj']['bias'])
+                _set(params, base + ['k_bias'], proj['k_proj']['bias'])
+        else:
+            # dense self-attn path fuses q/k into one [C, 2C] projection
+            _set(params, base + ['qk_kernel'], np.concatenate(
+                [proj['q_proj']['kernel'], proj['k_proj']['kernel']], axis=1))
+            if 'bias' in proj['q_proj']:
+                _set(params, base + ['qk_bias'], np.concatenate(
+                    [proj['q_proj']['bias'], proj['k_proj']['bias']]))
+        _set(params, base + ['v_kernel'], proj['v_proj']['kernel'])
+        if 'bias' in proj['v_proj']:
+            _set(params, base + ['v_bias'], proj['v_proj']['bias'])
+        out_lin = linear(get(f'{tsrc}.win_attn.{attn}.out_proj.weight'),
+                         get(f'{tsrc}.win_attn.{attn}.out_proj.bias'))
+        _set(params, base + ['out_kernel'], out_lin['kernel'])
+        _set(params, base + ['out_bias'], out_lin['bias'])
         if f'{tsrc}.win_attn.{attn}.tau' in sd:
             _set(params, base + ['tau'], tau(get(f'{tsrc}.win_attn.{attn}.tau')))
         _set(params, path + ['Dense_0'],
