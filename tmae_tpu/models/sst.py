@@ -244,6 +244,7 @@ class SSTBlock(nn.Module):
     max_tokens: int = 64
     max_voxels_out: int = 0  # unused on the dense path (kept for config parity)
     half_channels: bool = False  # asymmetric siamese branch (spt_backbone.py:274-287)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, grid: DenseGrid, train: bool) -> DenseGrid:
@@ -276,8 +277,11 @@ class SSTBlock(nn.Module):
             x = nn.relu(x)
 
         g = DenseGrid(x=x, occ=occ)
+        # remat each shift block: the window tensors dominate training memory
+        # (jax.checkpoint trades recompute for HBM, DESIGN.md §6)
+        block_cls = nn.remat(DenseShiftBlock) if self.remat else DenseShiftBlock
         for i in range(ecfg['NUM_BLOCKS']):
-            g = DenseShiftBlock(
+            g = block_cls(
                 d_model, ecfg['NHEAD'], dim_ff, self.window,
                 activation=ecfg.get('ACTIVATION', 'gelu'),
                 cosine=layer_cfg.get('cosine', True),
