@@ -174,3 +174,36 @@ class StridedSparseConvBlock(nn.Module):
         x = jnp.where(occ_out[..., None], x, 0.0)
         x = MaskedBatchNorm()(x, occ_out, use_running_average=not train)
         return nn.relu(x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params (reference
+    ``network_utils.FrozenBatchNorm``): normalizes with stored mean/var, no
+    updates; used when freezing pretrained branches."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.variable('batch_stats', 'scale', lambda: jnp.ones((C,)))
+        bias = self.variable('batch_stats', 'bias', lambda: jnp.zeros((C,)))
+        mean = self.variable('batch_stats', 'mean', lambda: jnp.zeros((C,)))
+        var = self.variable('batch_stats', 'var', lambda: jnp.ones((C,)))
+        return (x - mean.value) * jax.lax.rsqrt(
+            var.value + self.epsilon
+        ) * scale.value + bias.value
+
+
+def freeze_param_labels(params, frozen_prefixes):
+    """Label tree for optax.multi_transform: 'frozen' for any leaf whose path
+    starts with one of ``frozen_prefixes`` (the reference ``freeze()`` /
+    ``--pretrained_model`` freezing role, detector3d_template.py:30-36)."""
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(params)
+    labels = {
+        k: ('frozen' if any(k[0] == p or '/'.join(k).startswith(p)
+                            for p in frozen_prefixes) else 'trainable')
+        for k in flat
+    }
+    return tu.unflatten_dict(labels)

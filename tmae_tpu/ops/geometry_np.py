@@ -174,3 +174,62 @@ def nms_bev(boxes: np.ndarray, scores: np.ndarray, thresh: float,
     if post_maxsize is not None:
         keep = keep[:post_maxsize]
     return keep
+
+
+def circle_nms(centers_scores: np.ndarray, thresh: float,
+               post_max_size: int | None = None):
+    """Center-distance NMS (reference numba ``circle_nms``,
+    centernet_utils.py:80-104): dets [N, 3] = (x, y, score); suppress boxes whose
+    squared center distance to a kept higher-score box is <= thresh."""
+    x, y, scores = (centers_scores[:, 0], centers_scores[:, 1],
+                    centers_scores[:, 2])
+    order = np.argsort(-scores, kind='stable')
+    suppressed = np.zeros(len(order), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        d2 = (x[i] - x) ** 2 + (y[i] - y) ** 2
+        suppressed |= d2 <= thresh
+        suppressed[i] = True
+    keep = np.asarray(keep, np.int64)
+    if post_max_size is not None:
+        keep = keep[:post_max_size]
+    return keep
+
+
+def multi_classes_nms(cls_scores: np.ndarray, boxes: np.ndarray, labels=None,
+                      thresh: float = 0.5, score_thresh: float | None = None,
+                      pre_maxsize: int | None = None,
+                      post_maxsize: int | None = None):
+    """Per-class rotated NMS (reference ``model_nms_utils.multi_classes_nms``):
+    cls_scores [N, num_cls] or per-box scores with ``labels``; returns
+    (indices, labels, scores) concatenated over classes."""
+    if labels is None:
+        num_cls = cls_scores.shape[1]
+        out_idx, out_lab, out_sc = [], [], []
+        for c in range(num_cls):
+            s = cls_scores[:, c]
+            m = np.ones(len(s), bool) if score_thresh is None else s > score_thresh
+            idx = np.nonzero(m)[0]
+            if len(idx) == 0:
+                continue
+            keep = nms_bev(boxes[idx], s[idx], thresh, pre_maxsize, post_maxsize)
+            out_idx.append(idx[keep])
+            out_lab.append(np.full(len(keep), c, np.int64))
+            out_sc.append(s[idx][keep])
+        if not out_idx:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0))
+        return (np.concatenate(out_idx), np.concatenate(out_lab),
+                np.concatenate(out_sc))
+    out_idx, out_lab, out_sc = [], [], []
+    for c in np.unique(labels):
+        idx = np.nonzero(labels == c)[0]
+        s = cls_scores[idx]
+        keep = nms_bev(boxes[idx], s, thresh, pre_maxsize, post_maxsize)
+        out_idx.append(idx[keep])
+        out_lab.append(np.full(len(keep), c, np.int64))
+        out_sc.append(s[keep])
+    return (np.concatenate(out_idx), np.concatenate(out_lab),
+            np.concatenate(out_sc))

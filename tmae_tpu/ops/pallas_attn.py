@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_WINDOWS = 8
+TILE_WINDOWS = 16  # windows per grid step; VMEM-bounded (TW=32 overflows 16MB)
 
 # interpret mode for CPU tests (set by conftest / callers)
 _INTERPRET = False
