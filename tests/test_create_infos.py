@@ -1,0 +1,107 @@
+"""Info/gt-database creation over a synthetic raw-ONCE fixture, then the real
+dataset class + gt-sampling augmentor consume the outputs end-to-end."""
+
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
+
+from tmae_tpu.config import Cfg
+from tmae_tpu.datasets.dataset import build_dataloader
+
+CLASSES = ['Car', 'Bus', 'Truck', 'Pedestrian', 'Cyclist']
+
+
+def make_raw_once(root: Path, n_frames=4):
+    rng = np.random.RandomState(0)
+    seq = '000000'
+    seq_dir = root / 'data' / seq
+    (seq_dir / 'lidar_roof').mkdir(parents=True)
+    (root / 'ImageSets').mkdir()
+    frames = []
+    for fi in range(n_frames):
+        frame_id = f'{1000 + fi}'
+        n = 400
+        pts = np.zeros((n, 4), np.float32)
+        pts[:, 0:2] = rng.uniform(-30, 30, (n, 2))
+        pts[:, 2] = rng.uniform(-1.5, 0.5, n)
+        pts[:, 3] = rng.uniform(0, 1, n)
+        box = np.array([5.0 + 8.0 * fi, 3.0 - 6.0 * fi, -0.5, 4.0, 2.0, 1.6,
+                        0.3], np.float32)
+        # put 30 points inside the box so it survives min-point filters
+        inside = np.zeros((30, 4), np.float32)
+        inside[:, 0:3] = box[:3] + rng.uniform(-0.5, 0.5, (30, 3))
+        inside[:, 3] = 0.5
+        pts = np.vstack([pts, inside])
+        pts.tofile(seq_dir / 'lidar_roof' / f'{frame_id}.bin')
+        frames.append({
+            'frame_id': frame_id,
+            'pose': [0, 0, 0, 1, 0.5 * fi, 0, 0],
+            'annos': {
+                'names': ['Car'],
+                'boxes_3d': [box.tolist()],
+            },
+        })
+    with open(seq_dir / f'{seq}.json', 'w') as f:
+        json.dump({'frames': frames}, f)
+    (root / 'ImageSets' / 'train.txt').write_text(seq + '\n')
+    (root / 'ImageSets' / 'val.txt').write_text(seq + '\n')
+    return root
+
+
+def test_create_infos_and_gt_database(tmp_path):
+    import create_once_infos as coi
+    root = make_raw_once(tmp_path)
+    infos = coi.create_infos(root, 'train')
+    assert len(infos) == 4
+    assert (root / 'once_infos_train.pkl').exists()
+    assert infos[0]['annos']['num_points_in_gt'][0] >= 30
+
+    db = coi.create_gt_database(root, infos, 'train')
+    assert 'Car' in db and len(db['Car']) == 4
+    obj_path = root / db['Car'][0]['path']
+    obj = np.fromfile(obj_path, np.float32).reshape(-1, 4)
+    # object-centered points
+    assert np.abs(obj[:, :3]).max() < 3.0
+
+    # the real dataset + gt-sampling pipeline consumes these artifacts
+    cfg = Cfg.from_dict({
+        'DATASET': 'ONCETemporalDataset',
+        'POINT_CLOUD_RANGE': [-74.88, -74.88, -5.0, 74.88, 74.88, 3.0],
+        'DATA_SPLIT': {'train': 'train', 'test': 'val'},
+        'SCAN_WINDOW': 3,
+        'ALIGN_TWO_FRAMES': True,
+        'DATA_AUGMENTOR': {
+            'DISABLE_AUG_LIST': ['placeholder'],
+            'AUG_CONFIG_LIST': [
+                {'NAME': 'gt_sampling',
+                 'DB_INFO_PATH': ['once_dbinfos_train.pkl'],
+                 'PREPARE': {'filter_by_min_points': ['Car:5']},
+                 'SAMPLE_GROUPS': ['Car:3'],
+                 'NUM_POINT_FEATURES': 4,
+                 'LIMIT_WHOLE_SCENE': True},
+                {'NAME': 'random_world_flip', 'PROBABILITY': 0.5,
+                 'ALONG_AXIS_LIST': ['x', 'y']},
+            ],
+        },
+        'DATA_PROCESSOR': [
+            {'NAME': 'mask_points_and_boxes_outside_range',
+             'REMOVE_OUTSIDE_BOXES': True},
+            {'NAME': 'calculate_grid_size', 'VOXEL_SIZE': [0.32, 0.32, 8.0]},
+        ],
+    })
+    runtime = {'MAX_POINTS': 1024, 'MAX_VOXELS': [512], 'MAX_GT': 8}
+    ds, loader = build_dataloader(
+        cfg, CLASSES, batch_size=2, training=True, runtime_cfg=runtime,
+        root_path=str(root), seed=0,
+    )
+    assert len(ds) == 2  # 4 frames / window 3 → 2 intervals
+    batch = next(iter(loader))
+    # gt sampling pasted additional Car boxes (LIMIT_WHOLE_SCENE: 3 - 1 existing)
+    n_gt = batch['gt_mask'].sum(axis=1)
+    assert (n_gt >= 2).all(), n_gt
+    assert batch['points'].shape == (2, 1024, 4)
