@@ -143,7 +143,8 @@ def main():
     state = replicate_state(state, mesh)
     base_rng = jax.random.PRNGKey(seed + 7)
 
-    metrics_log = open(out_dir / 'metrics.jsonl', 'a')
+    from tmae_tpu.utils.metrics import MetricsLogger
+    metrics_log = MetricsLogger(out_dir)
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         t_epoch = time.time()
@@ -166,11 +167,12 @@ def main():
                     epoch, it, steps_per_epoch, float(metrics['loss']),
                     float(metrics['grad_norm']), lr, data_t, fwd_t,
                 )
-                metrics_log.write(json.dumps({
-                    'step': int(state.step), 'epoch': epoch,
-                    'loss': float(metrics['loss']), 'lr': lr,
-                }) + '\n')
-                metrics_log.flush()
+                metrics_log.log(int(state.step), {
+                    'train/loss': float(metrics['loss']),
+                    'train/grad_norm': float(metrics['grad_norm']),
+                    'meta_data/learning_rate': lr,
+                    'epoch': epoch,
+                })
             fwd_t += time.time() - t0
             t0 = time.time()
         logger.info('epoch %d done in %.1fs', epoch, time.time() - t_epoch)
