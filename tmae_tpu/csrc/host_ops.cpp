@@ -165,6 +165,11 @@ void tmae_iou3d(const double* boxes_a, int64_t n, const double* boxes_b,
 int64_t tmae_nms_bev(const double* boxes, int64_t n, double thresh,
                      int64_t post_max, int8_t* keep_out) {
   std::vector<uint8_t> suppressed(n, 0);
+  std::vector<double> rad(n);  // half-diagonal for the cheap distance reject
+  for (int64_t i = 0; i < n; ++i) {
+    const double* b = boxes + i * 7;
+    rad[i] = 0.5 * std::sqrt(b[3] * b[3] + b[4] * b[4]);
+  }
   std::memset(keep_out, 0, n);
   int64_t kept = 0;
   for (int64_t i = 0; i < n && kept < post_max; ++i) {
@@ -176,6 +181,9 @@ int64_t tmae_nms_bev(const double* boxes, int64_t n, double thresh,
     for (int64_t j = i + 1; j < n; ++j) {
       if (suppressed[j]) continue;
       const double* b = boxes + j * 7;
+      const double dx = a[0] - b[0], dy = a[1] - b[1];
+      const double rr = rad[i] + rad[j];
+      if (dx * dx + dy * dy > rr * rr) continue;  // disjoint: iou == 0
       const double inter = intersection_area(a, b);
       const double iou = inter / std::max(area_a + b[3] * b[4] - inter, 1e-6);
       if (iou > thresh) suppressed[j] = 1;

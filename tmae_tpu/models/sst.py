@@ -177,7 +177,9 @@ class DenseWindowAttention(nn.Module):
 class DenseEncoderLayer(nn.Module):
     """Window attention + FFN with post-LN residuals on the dense grid
     (reference ``EncoderLayer``, sst_basic_block.py:57-84; WCA variant
-    wca_block.py:70-103). Per-token ops are masked to active cells."""
+    wca_block.py:70-103). On TPU the whole layer runs as ONE fused Pallas kernel
+    (``ops/pallas_encoder.py``) — one HBM read/write of the window tensor instead
+    of ~8 full-grid passes; on CPU/fallback the identical jnp reference runs."""
 
     d_model: int
     nhead: int
@@ -188,23 +190,81 @@ class DenseEncoderLayer(nn.Module):
     cosine: bool = True
     tau_min: float = 0.01
     cross: bool = False
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
-        attn = DenseWindowAttention(
-            self.d_model, self.nhead, self.window, self.shift,
-            cosine=self.cosine, tau_min=self.tau_min,
-            name='CosineWindowAttention_0',
-        )(grid, kv_grid if self.cross else None)
-        x = nn.LayerNorm(name='LayerNorm_0')(grid.x + attn)
-        x = jnp.where(grid.occ[..., None], x, 0.0)
-        dt = COMPUTE_DTYPE
-        ff = nn.Dense(self.dim_feedforward, name='Dense_0', dtype=dt)(
-            x.astype(dt)
+        from ..ops import pallas_encoder
+
+        assert self.cosine and self.activation == 'gelu', (
+            'the fused dense encoder implements the cosine+gelu variant used by '
+            'every T-MAE config; others live in the list path'
         )
-        ff = _activation(self.activation)(ff)
-        ff = nn.Dense(self.d_model, name='Dense_1', dtype=dt)(ff)
-        x = nn.LayerNorm(name='LayerNorm_1')(x + ff.astype(jnp.float32))
+        C, w, F = self.d_model, self.window, self.dim_feedforward
+        cross = self.cross and kv_grid is not None
+        dt = COMPUTE_DTYPE
+        kinit = nn.initializers.lecun_normal()
+        zinit = nn.initializers.zeros
+
+        if cross:
+            wq = self.param('q_kernel', kinit, (C, C))
+            bq = self.param('q_bias', zinit, (C,))
+            wk = self.param('k_kernel', kinit, (C, C))
+            bk = self.param('k_bias', zinit, (C,))
+        else:
+            wqk = self.param('qk_kernel', kinit, (C, 2 * C))
+            bqk = self.param('qk_bias', zinit, (2 * C,))
+            wq, wk = wqk[:, :C], wqk[:, C:]
+            bq, bk = bqk[:C], bqk[C:]
+        wv = self.param('v_kernel', kinit, (C, C))
+        bv = self.param('v_bias', zinit, (C,))
+        wo = self.param('out_kernel', kinit, (C, C))
+        bo = self.param('out_bias', zinit, (C,))
+        tau = self.param('tau', nn.initializers.ones, (1,))
+        ln1s = self.param('ln1_scale', nn.initializers.ones, (C,))
+        ln1b = self.param('ln1_bias', zinit, (C,))
+        f1w = self.param('ffn1_kernel', kinit, (C, F))
+        f1b = self.param('ffn1_bias', zinit, (F,))
+        f2w = self.param('ffn2_kernel', kinit, (F, C))
+        f2b = self.param('ffn2_bias', zinit, (C,))
+        ln2s = self.param('ln2_scale', nn.initializers.ones, (C,))
+        ln2b = self.param('ln2_bias', zinit, (C,))
+
+        xw = window_view(grid.x.astype(dt), w, self.shift)
+        kvw = (
+            window_view(kv_grid.x.astype(dt), w, self.shift) if cross else xw
+        )
+        qmask = window_view(
+            grid.occ[..., None].astype(jnp.float32), w, self.shift
+        )[..., 0]
+        kmask = (
+            window_view(
+                kv_grid.occ[..., None].astype(jnp.float32), w, self.shift
+            )[..., 0] if cross else qmask
+        )
+        pos = slot_pos_embed(w, C).astype(dt)
+
+        B, NW, T, _ = xw.shape
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() not in ('cpu',)
+                and C % 128 == 0 and T % 8 == 0
+            )
+        flat = lambda a: a.reshape(B * NW, *a.shape[2:])
+        args = (flat(xw), flat(kvw), flat(qmask), flat(kmask), pos,
+                wq, bq, wk, bk, wv, bv, wo, bo, tau,
+                ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
+        if use_pallas:
+            out = pallas_encoder.fused_encoder_layer(
+                *args, self.nhead, self.tau_min, cross
+            )
+        else:
+            out = pallas_encoder.reference_encoder_layer(
+                *args, nhead=self.nhead, tau_min=self.tau_min, cross=cross
+            )
+        out = out.reshape(B, NW, T, C).astype(jnp.float32)
+        x = window_unview(out, grid.grid_hw, w, self.shift)
         x = jnp.where(grid.occ[..., None], x, 0.0)
         return DenseGrid(x=x, occ=grid.occ)
 

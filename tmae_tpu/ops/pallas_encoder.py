@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: fully-fused SST encoder layer.
+
+One kernel = cosine window attention + post-LN residual + FFN (GELU) + post-LN,
+over a tile of windows resident in VMEM (reference semantics:
+``sst_basic_block.py:57-84`` / ``wca_block.py:70-103``). The unfused XLA path
+makes ~8 full-grid HBM passes per layer (LayerNorms and element-wise masking are
+bandwidth-bound at 468²x128); this kernel reads the window tensor once and writes
+it once.
+
+Forward-only Pallas; a ``jax.custom_vjp`` backward differentiates the identical
+jnp reference (``reference_encoder_layer``), so training works transparently.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_WINDOWS = 16
+
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _attention_core(q, k, v, km, tau, nhead, tau_min, W, T, C):
+    """Per-head cosine attention with ≤1-batch-dim matmuls (Mosaic constraint)."""
+    H, D = nhead, C // nhead
+    scale = 1.0 / jnp.maximum(tau, tau_min)
+    has_key = jnp.any(km > 0, axis=-1)[:, None, None]
+    q3 = q.reshape(W, T, C)
+    k3 = k.reshape(W, T, C)
+    v3 = v.reshape(W, T, C)
+    outs = []
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        qh = q3[:, :, sl]
+        kh = k3[:, :, sl]
+        vh = v3[:, :, sl]
+        qh = qh * jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24)
+        kh = kh * jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24)
+        logits = jax.lax.dot_general(
+            qh * scale, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(km[:, None, :] > 0, logits, -30000.0)
+        p = jax.nn.softmax(logits, axis=-1)
+        p = jnp.where(has_key, p, 0.0)
+        outs.append(
+            jax.lax.dot_general(
+                p, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=-1).reshape(W * T, C)
+
+
+def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+            tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+            ln2s_ref, ln2b_ref, o_ref, *, nhead, tau_min, cross):
+    W, T, C = x_ref.shape
+    x = x_ref[:]
+    kv = kv_ref[:] if cross else x
+    pos = pos_ref[:]
+    dt = x.dtype
+    xp = (x + pos[None]).reshape(W * T, C)
+    q = jnp.dot(xp, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0]
+    kvp = (kv + pos[None]).reshape(W * T, C) if cross else xp
+    k = jnp.dot(kvp, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[0]
+    v = jnp.dot(kv.reshape(W * T, C), wv_ref[:],
+                preferred_element_type=jnp.float32) + bv_ref[0]
+    attn = _attention_core(q, k, v, kmask_ref[:], tau_ref[0, 0], nhead,
+                           tau_min, W, T, C)
+    attn = jnp.dot(attn.astype(dt), wo_ref[:],
+                   preferred_element_type=jnp.float32) + bo_ref[0]
+    # attention delta lands only on occupied query cells
+    qm = qmask_ref[:].reshape(W * T, 1)
+    x32 = x.reshape(W * T, C).astype(jnp.float32)
+    h = _ln(x32 + jnp.where(qm > 0, attn, 0.0), ln1s_ref[0], ln1b_ref[0])
+    h = jnp.where(qm > 0, h, 0.0)
+    ff = jnp.dot(h.astype(dt), f1w_ref[:],
+                 preferred_element_type=jnp.float32) + f1b_ref[0]
+    ff = jax.nn.gelu(ff, approximate=False)
+    ff = jnp.dot(ff.astype(dt), f2w_ref[:],
+                 preferred_element_type=jnp.float32) + f2b_ref[0]
+    out = _ln(h + ff, ln2s_ref[0], ln2b_ref[0])
+    out = jnp.where(qm > 0, out, 0.0)
+    o_ref[:] = out.reshape(W, T, C).astype(o_ref.dtype)
+
+
+def reference_encoder_layer(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
+                            wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s,
+                            ln2b, nhead, tau_min, cross):
+    """jnp reference of the fused layer (used on CPU and as the VJP source)."""
+    f32 = jnp.float32
+    kv = kvw if cross else xw
+    xp = (xw + pos[None]).astype(f32)
+    q = xp @ wq.astype(f32) + bq
+    kvp = (kv + pos[None]).astype(f32) if cross else xp
+    k = kvp @ wk.astype(f32) + bk
+    v = kv.astype(f32) @ wv.astype(f32) + bv
+    N, T, C = xw.shape
+    H, D = nhead, C // nhead
+    qh = q.reshape(N, T, H, D)
+    kh = k.reshape(N, T, H, D)
+    vh = v.reshape(N, T, H, D)
+    qh = qh * jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24)
+    kh = kh * jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24)
+    scale = 1.0 / jnp.maximum(tau[0], tau_min)
+    logits = jnp.einsum('nthd,nshd->nhts', qh * scale, kh)
+    logits = jnp.where(kmask[:, None, None, :] > 0, logits, -30000.0)
+    p = jax.nn.softmax(logits, axis=-1)
+    p = jnp.where(jnp.any(kmask > 0, -1)[:, None, None, None], p, 0.0)
+    attn = jnp.einsum('nhts,nshd->nthd', p, vh).reshape(N, T, C)
+    attn = attn @ wo.astype(f32) + bo
+    qm = qmask[..., None]
+    h = _ln(xw.astype(f32) + jnp.where(qm > 0, attn, 0.0), ln1s, ln1b)
+    h = jnp.where(qm > 0, h, 0.0)
+    ff = jax.nn.gelu(h @ f1w.astype(f32) + f1b, approximate=False)
+    ff = ff @ f2w.astype(f32) + f2b
+    out = _ln(h + ff, ln2s, ln2b)
+    return jnp.where(qm > 0, out, 0.0).astype(xw.dtype)
+
+
+def _pallas_forward(xw, kvw, qmask, kmask, pos, *params, nhead, tau_min, cross):
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    N, T, C = xw.shape
+    F = f1w.shape[1]
+    TW = TILE_WINDOWS
+    padded = ((N + TW - 1) // TW) * TW
+    if padded != N:
+        padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+        xw, kvw, qmask, kmask = (padz(xw), padz(kvw), padz(qmask), padz(kmask))
+    dt = xw.dtype
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    vec_specs = [
+        pl.BlockSpec((TW, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, T, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    param_specs = [
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    ]
+    kernel = functools.partial(_kernel, nhead=nhead, tau_min=tau_min,
+                               cross=cross)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((padded, T, C), xw.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(padded // TW,),
+            in_specs=vec_specs + param_specs,
+            out_specs=pl.BlockSpec((TW, T, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=_INTERPRET,
+    )(xw, kvw, qmask.astype(jnp.float32), kmask.astype(jnp.float32), pos,
+      mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
+      tau.reshape(1, 1).astype(jnp.float32), row(ln1s), row(ln1b),
+      mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s), row(ln2b))
+    return out[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24))
+def fused_encoder_layer(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
+                        wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s,
+                        ln2b, nhead: int, tau_min: float, cross: bool):
+    """Fused attention+LN+FFN+LN over windowed tokens. xw/kvw [N, T, C];
+    qmask/kmask [N, T]; FFN width = f1w.shape[1]."""
+    return _pallas_forward(
+        xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo, tau,
+        ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+        nhead=nhead, tau_min=tau_min, cross=cross,
+    )
+
+
+def _fwd(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo, tau,
+         ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b, nhead, tau_min, cross):
+    out = _pallas_forward(
+        xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo, tau,
+        ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+        nhead=nhead, tau_min=tau_min, cross=cross,
+    )
+    return out, (xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo,
+                 tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
+
+
+def _bwd(nhead, tau_min, cross, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: reference_encoder_layer(*a, nhead=nhead, tau_min=tau_min,
+                                           cross=cross),
+        *residuals,
+    )
+    return vjp(g)
+
+
+fused_encoder_layer.defvjp(_fwd, _bwd)

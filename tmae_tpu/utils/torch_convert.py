@@ -105,10 +105,11 @@ def convert_state_dict(sd: dict) -> tuple:
         _set(stats, path, s)
 
     def encoder_layer(tsrc, path, cross):
+        """torch EncoderLayer → the fused DenseEncoderLayer's flat params."""
         attn = 'cross_attn' if cross else 'self_attn'
         proj = mha_in_proj(get(f'{tsrc}.win_attn.{attn}.in_proj_weight'),
                            sd.get(f'{tsrc}.win_attn.{attn}.in_proj_bias'))
-        base = path + ['CosineWindowAttention_0']
+        base = path
         if cross:
             _set(params, base + ['q_kernel'], proj['q_proj']['kernel'])
             _set(params, base + ['k_kernel'], proj['k_proj']['kernel'])
@@ -131,14 +132,16 @@ def convert_state_dict(sd: dict) -> tuple:
         _set(params, base + ['out_bias'], out_lin['bias'])
         if f'{tsrc}.win_attn.{attn}.tau' in sd:
             _set(params, base + ['tau'], tau(get(f'{tsrc}.win_attn.{attn}.tau')))
-        _set(params, path + ['Dense_0'],
-             linear(get(f'{tsrc}.linear1.weight'), get(f'{tsrc}.linear1.bias')))
-        _set(params, path + ['Dense_1'],
-             linear(get(f'{tsrc}.linear2.weight'), get(f'{tsrc}.linear2.bias')))
-        _set(params, path + ['LayerNorm_0'],
-             layernorm(get(f'{tsrc}.norm1.weight'), get(f'{tsrc}.norm1.bias')))
-        _set(params, path + ['LayerNorm_1'],
-             layernorm(get(f'{tsrc}.norm2.weight'), get(f'{tsrc}.norm2.bias')))
+        f1 = linear(get(f'{tsrc}.linear1.weight'), get(f'{tsrc}.linear1.bias'))
+        f2 = linear(get(f'{tsrc}.linear2.weight'), get(f'{tsrc}.linear2.bias'))
+        _set(params, base + ['ffn1_kernel'], f1['kernel'])
+        _set(params, base + ['ffn1_bias'], f1['bias'])
+        _set(params, base + ['ffn2_kernel'], f2['kernel'])
+        _set(params, base + ['ffn2_bias'], f2['bias'])
+        _set(params, base + ['ln1_scale'], get(f'{tsrc}.norm1.weight'))
+        _set(params, base + ['ln1_bias'], get(f'{tsrc}.norm1.bias'))
+        _set(params, base + ['ln2_scale'], get(f'{tsrc}.norm2.weight'))
+        _set(params, base + ['ln2_bias'], get(f'{tsrc}.norm2.bias'))
 
     keys = list(sd.keys())
     consumed = set()
