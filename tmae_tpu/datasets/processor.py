@@ -194,6 +194,7 @@ def collate_static(samples, max_points, max_gt, max_voxels=None):
         voxels = np.zeros((B, Vmax, T, Cv), np.float32)
         vnum = np.zeros((B, Vmax), np.int64)
         vcoords = np.zeros((B, Vmax, 2), np.int32)
+        vcoords_zyx = np.zeros((B, Vmax, 3), np.int32)
         vmask = np.zeros((B, Vmax), bool)
         for b, s in enumerate(samples):
             n = min(len(s['voxels']), Vmax)
@@ -203,8 +204,10 @@ def collate_static(samples, max_points, max_gt, max_voxels=None):
             voxels[b, :n] = s['voxels']
             vnum[b, :n] = s['voxel_num_points']
             vcoords[b, :n] = s['voxel_coords_zyx'][:, 1:3]  # (y, x)
+            vcoords_zyx[b, :n] = s['voxel_coords_zyx']
             vmask[b, :n] = True
         out.update({'voxels': voxels, 'voxel_num_points': vnum,
-                    'voxel_coords': vcoords, 'voxel_mask': vmask})
+                    'voxel_coords': vcoords, 'voxel_coords_zyx': vcoords_zyx,
+                    'voxel_mask': vmask})
     out['frame_id'] = frame_ids
     return out

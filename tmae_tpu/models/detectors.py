@@ -168,12 +168,14 @@ class GDMAE(TMAE):
 
 
 from .pointpillar import PointPillar  # noqa: E402
+from .second_net import SECONDNet  # noqa: E402
 
 _DETECTORS = {
     'CenterPoint': CenterPoint,
     'TMAE': TMAE,
     'GDMAE': GDMAE,
     'PointPillar': PointPillar,
+    'SECONDNet': SECONDNet,
 }
 
 

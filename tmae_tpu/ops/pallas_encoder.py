@@ -30,6 +30,25 @@ def set_interpret(flag: bool):
     _INTERPRET = bool(flag)
 
 
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 polynomial erf (|err| < 1.5e-7) — Mosaic has no
+    erf/erfc primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -ax * ax
+    )
+    return s * y
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _ln(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
@@ -87,19 +106,21 @@ def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
                            tau_min, W, T, C)
     attn = jnp.dot(attn.astype(dt), wo_ref[:],
                    preferred_element_type=jnp.float32) + bo_ref[0]
-    # attention delta lands only on occupied query cells
-    qm = qmask_ref[:].reshape(W * T, 1)
-    x32 = x.reshape(W * T, C).astype(jnp.float32)
-    h = _ln(x32 + jnp.where(qm > 0, attn, 0.0), ln1s_ref[0], ln1b_ref[0])
-    h = jnp.where(qm > 0, h, 0.0)
-    ff = jnp.dot(h.astype(dt), f1w_ref[:],
+    # attention delta lands only on occupied query cells. Keep (W, T, C) layout:
+    # Mosaic can't reshape (W, T) → (W*T, 1) (lane-dim change).
+    qm = qmask_ref[:][..., None] > 0  # [W, T, 1]
+    x32 = x.astype(jnp.float32)
+    h = _ln(x32 + jnp.where(qm, attn.reshape(W, T, C), 0.0),
+            ln1s_ref[0], ln1b_ref[0])
+    h = jnp.where(qm, h, 0.0)
+    ff = jnp.dot(h.reshape(W * T, C).astype(dt), f1w_ref[:],
                  preferred_element_type=jnp.float32) + f1b_ref[0]
-    ff = jax.nn.gelu(ff, approximate=False)
+    ff = _gelu_exact(ff)
     ff = jnp.dot(ff.astype(dt), f2w_ref[:],
                  preferred_element_type=jnp.float32) + f2b_ref[0]
-    out = _ln(h + ff, ln2s_ref[0], ln2b_ref[0])
-    out = jnp.where(qm > 0, out, 0.0)
-    o_ref[:] = out.reshape(W, T, C).astype(o_ref.dtype)
+    out = _ln(h + ff.reshape(W, T, C), ln2s_ref[0], ln2b_ref[0])
+    out = jnp.where(qm, out, 0.0)
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def reference_encoder_layer(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
