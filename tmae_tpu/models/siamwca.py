@@ -114,14 +114,26 @@ class SiamWCAEncoder(nn.Module):
         return hidden
 
     def __call__(self, grid_cur: DenseGrid, grid_prv: DenseGrid, train: bool):
-        if self.asym_simsiam:
-            hid_prv = jax.tree.map(
-                jax.lax.stop_gradient,
-                self.encode_pyramid(grid_prv, train, prev_branch=False),
-            )
+        if self.asymmetric:
+            if self.asym_simsiam:
+                hid_prv = jax.tree.map(
+                    jax.lax.stop_gradient,
+                    self.encode_pyramid(grid_prv, train, prev_branch=False),
+                )
+            else:
+                hid_prv = self.encode_pyramid(grid_prv, train, prev_branch=True)
+            hid_cur = self.encode_pyramid(grid_cur, train, prev_branch=False)
         else:
-            hid_prv = self.encode_pyramid(grid_prv, train, prev_branch=True)
-        hid_cur = self.encode_pyramid(grid_cur, train, prev_branch=False)
+            # shared weights: encode both frames in ONE batched pyramid pass
+            # (fewer kernel launches, better utilization at small batch)
+            B = grid_cur.x.shape[0]
+            both = DenseGrid(
+                x=jnp.concatenate([grid_cur.x, grid_prv.x], axis=0),
+                occ=jnp.concatenate([grid_cur.occ, grid_prv.occ], axis=0),
+            )
+            hid_both = self.encode_pyramid(both, train, prev_branch=False)
+            hid_cur = [DenseGrid(x=h.x[:B], occ=h.occ[:B]) for h in hid_both]
+            hid_prv = [DenseGrid(x=h.x[B:], occ=h.occ[B:]) for h in hid_both]
         fused = [
             self.wca_blocks[i](hid_cur[i], hid_prv[i], train)
             for i in range(len(hid_cur))

@@ -97,10 +97,14 @@ def convert_state_dict(sd: dict) -> tuple:
     def get(name):
         return np.asarray(sd[name])
 
-    def bn_at(prefix_t, path):
+    def bn_at(prefix_t, path, nested=False):
+        # nested=True → our BatchNorm2d wrapper (inner flax BatchNorm scope);
+        # nested=False → MaskedBatchNorm (flat scale/bias at module level)
         p, s = batchnorm(get(prefix_t + '.weight'), get(prefix_t + '.bias'),
                          get(prefix_t + '.running_mean'),
                          get(prefix_t + '.running_var'))
+        if nested:
+            path = path + ['BatchNorm_0']
         _set(params, path, p)
         _set(stats, path, s)
 
@@ -222,7 +226,8 @@ def convert_state_dict(sd: dict) -> tuple:
         _set(params, ['backbone_3d', fuse_name, f'deblock_{i}', 'ConvTranspose_0'],
              conv_transpose2d(get(f'{tprefix}.{i}.0.weight')))
         bn_at(f'{tprefix}.{i}.1',
-              ['backbone_3d', fuse_name, f'deblock_{i}', 'BatchNorm2d_0'])
+              ['backbone_3d', fuse_name, f'deblock_{i}', 'BatchNorm2d_0'],
+              nested=True)
         mark(f'{tprefix}.{i}.')
         i += 1
     cname = ('backbone_3d.decoder_conv_out'
@@ -231,7 +236,8 @@ def convert_state_dict(sd: dict) -> tuple:
         _set(params, ['backbone_3d', fuse_name, 'conv_out', 'Conv_0'],
              conv2d(get(f'{cname}.0.weight')))
         bn_at(f'{cname}.1',
-              ['backbone_3d', fuse_name, 'conv_out', 'BatchNorm2d_0'])
+              ['backbone_3d', fuse_name, 'conv_out', 'BatchNorm2d_0'],
+              nested=True)
         mark(cname + '.')
     if 'backbone_3d.decoder_pred.weight' in sd:
         _set(params, ['backbone_3d', 'decoder_pred'],
@@ -239,14 +245,14 @@ def convert_state_dict(sd: dict) -> tuple:
                     get('backbone_3d.decoder_pred.bias')))
         mark('backbone_3d.decoder_pred.')
 
-    # --- backbone_2d (SSTBEVBackbone: conv_layers named per impl) ---
+    # --- backbone_2d (SSTBEVBackbone.conv_layer ModuleList) ---
     i = 0
-    while f'backbone_2d.conv_layers.{i}.0.weight' in sd:
+    while f'backbone_2d.conv_layer.{i}.0.weight' in sd:
         _set(params, ['backbone_2d', f'conv_{i}', 'Conv_0'],
-             conv2d(get(f'backbone_2d.conv_layers.{i}.0.weight')))
-        bn_at(f'backbone_2d.conv_layers.{i}.1',
-              ['backbone_2d', f'conv_{i}', 'BatchNorm2d_0'])
-        mark(f'backbone_2d.conv_layers.{i}.')
+             conv2d(get(f'backbone_2d.conv_layer.{i}.0.weight')))
+        bn_at(f'backbone_2d.conv_layer.{i}.1',
+              ['backbone_2d', f'conv_{i}', 'BatchNorm2d_0'], nested=True)
+        mark(f'backbone_2d.conv_layer.{i}.')
         i += 1
 
     # --- dense_head ---
@@ -254,7 +260,8 @@ def convert_state_dict(sd: dict) -> tuple:
         _set(params, ['dense_head', 'shared_conv'],
              conv2d(get('dense_head.shared_conv.0.weight'),
                     sd.get('dense_head.shared_conv.0.bias')))
-        bn_at('dense_head.shared_conv.1', ['dense_head', 'shared_bn'])
+        bn_at('dense_head.shared_conv.1', ['dense_head', 'shared_bn'],
+              nested=True)
         mark('dense_head.shared_conv.')
     hi = 0
     while any(k.startswith(f'dense_head.heads_list.{hi}.') for k in keys):
@@ -270,7 +277,7 @@ def convert_state_dict(sd: dict) -> tuple:
                             sd.get(f'{base_t}.{k}.0.bias')))
                 bn_at(f'{base_t}.{k}.1',
                       ['dense_head', f'head_{hi}', f'{head}_conv{k}',
-                       'BatchNorm2d_0'])
+                       'BatchNorm2d_0'], nested=True)
                 k += 1
             _set(params, ['dense_head', f'head_{hi}', f'{head}_out'],
                  conv2d(get(f'{base_t}.{k}.weight'), get(f'{base_t}.{k}.bias')))
