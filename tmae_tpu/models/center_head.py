@@ -32,9 +32,10 @@ class SeparateHead(nn.Module):
         for name, hc in self.head_dict.items():
             y = x
             for k in range(hc['num_conv'] - 1):
+                # torch-default BN (eps 1e-5, momentum 0.1) in the head convs
                 y = ConvBNReLU(
                     x.shape[-1], kernel=3, use_bias=self.use_bias,
-                    epsilon=1e-5, name=f'{name}_conv{k}',
+                    epsilon=1e-5, momentum=0.9, name=f'{name}_conv{k}',
                 )(y, train)
             bias_init = (
                 nn.initializers.constant(-2.19)
@@ -64,7 +65,7 @@ class CenterHead(nn.Module):
         use_bias = cfg.get('USE_BIAS_BEFORE_NORM', False)
         x = nn.Conv(shared_ch, (3, 3), padding='SAME', use_bias=use_bias,
                     name='shared_conv')(spatial_features)
-        x = BatchNorm2d(epsilon=1e-5, name='shared_bn')(
+        x = BatchNorm2d(epsilon=1e-5, momentum=0.9, name='shared_bn')(
             x, use_running_average=not train
         )
         x = nn.relu(x)

@@ -89,6 +89,7 @@ class ConvBNReLU(nn.Module):
     dilation: int = 1
     padding: int | None = None
     epsilon: float = BN_EPS
+    momentum: float = 1.0 - BN_MOMENTUM
     use_bias: bool = False
 
     @nn.compact
@@ -103,7 +104,9 @@ class ConvBNReLU(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
         )(x)
-        x = BatchNorm2d(epsilon=self.epsilon)(x, use_running_average=not train)
+        x = BatchNorm2d(epsilon=self.epsilon, momentum=self.momentum)(
+            x, use_running_average=not train
+        )
         return nn.relu(x)
 
 
@@ -127,14 +130,18 @@ class DeconvBNReLU(nn.Module):
 class LinearBNReLU(nn.Module):
     """Linear(bias=False) + masked BN + ReLU over point/voxel lists — the reference
     ``make_fc_layers_GN`` stack (``network_utils.py:25-40``, which despite its name
-    uses BatchNorm1d)."""
+    uses BatchNorm1d with torch DEFAULT eps/momentum, unlike the spconv blocks)."""
 
     features: int
+    epsilon: float = 1e-5
+    momentum: float = 0.9  # torch default momentum 0.1
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         x = nn.Dense(self.features, use_bias=False)(x)
-        x = MaskedBatchNorm()(x, mask, use_running_average=not train)
+        x = MaskedBatchNorm(epsilon=self.epsilon, momentum=self.momentum)(
+            x, mask, use_running_average=not train
+        )
         return nn.relu(x)
 
 
