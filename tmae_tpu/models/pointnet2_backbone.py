@@ -1,0 +1,164 @@
+"""PointNet++ backbone (reference ``pcdet/models/backbones_3d/pointnet2_backbone
+.py`` PointNet2MSG) and the simple point head (``dense_heads/point_head_simple
+.py``), built on the static-shape primitives in ``ops/pointnet2.py``. These back
+the point-based model family (SSD3D / VSA / GraphRCNN aux heads).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.pointnet2 import (
+    farthest_point_sample, gather_points, query_and_group, three_nn,
+    three_interpolate,
+)
+from .layers import LinearBNReLU
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale-grouping SA layer: FPS centers, per-radius ball query +
+    grouped MLP + max-pool, concatenated over scales (reference
+    PointnetSAModuleMSG)."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per scale
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, train: bool):
+        """xyz [B, N, 3], features [B, N, C] or None → (new_xyz [B, S, 3],
+        new_mask, new_features [B, S, sum(mlps[-1])])."""
+        idx = farthest_point_sample(xyz, mask, self.npoint)
+        new_xyz = gather_points(xyz, idx)
+        new_mask = jnp.take_along_axis(mask, idx, axis=1)
+        outs = []
+        for si, (radius, nsample, widths) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            grouped, gidx, cnt = query_and_group(
+                radius, nsample, xyz, mask, new_xyz, new_mask, features,
+            )
+            B, S, K, C = grouped.shape
+            x = grouped.reshape(B, S * K, C)
+            gmask = jnp.repeat(
+                (cnt > 0) & new_mask, K, axis=1
+            ).reshape(B, S * K)
+            for wi, w in enumerate(widths):
+                x = LinearBNReLU(w, name=f'scale{si}_mlp{wi}')(x, gmask, train)
+            x = x.reshape(B, S, K, -1)
+            x = jnp.max(jnp.where(gmask.reshape(B, S, K, 1), x, -jnp.inf),
+                        axis=2)
+            x = jnp.where(((cnt > 0) & new_mask)[..., None], x, 0.0)
+            outs.append(x)
+        return new_xyz, new_mask, jnp.concatenate(outs, axis=-1)
+
+
+class FeaturePropagation(nn.Module):
+    """FP layer: 3-NN inverse-distance interpolation + MLP (reference
+    PointnetFPModule)."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz_dst, mask_dst, xyz_src, mask_src, feat_dst,
+                 feat_src, train: bool):
+        dist, idx = three_nn(xyz_dst, xyz_src, mask_src)
+        interp = three_interpolate(feat_src, idx, dist)
+        x = (
+            jnp.concatenate([interp, feat_dst], axis=-1)
+            if feat_dst is not None else interp
+        )
+        for wi, w in enumerate(self.mlp):
+            x = LinearBNReLU(w, name=f'mlp{wi}')(x, mask_dst, train)
+        return jnp.where(mask_dst[..., None], x, 0.0)
+
+
+class PointNet2Backbone(nn.Module):
+    """MSG SA pyramid + FP decoding back to the full point set (reference
+    PointNet2MSG, pointnet2_backbone.py). Config keys mirror the reference:
+    SA_CONFIG.{NPOINTS, RADIUS, NSAMPLE, MLPS} and FP_MLPS."""
+
+    model_cfg: Any
+
+    @nn.compact
+    def __call__(self, points_xyz, point_mask, point_features, train: bool):
+        sa_cfg = self.model_cfg['SA_CONFIG']
+        fp_mlps = self.model_cfg.get('FP_MLPS', [])
+        xyz = [points_xyz]
+        mask = [point_mask]
+        feats = [point_features]
+        for i, npoint in enumerate(sa_cfg['NPOINTS']):
+            nx, nm, nf = SetAbstractionMSG(
+                npoint=int(npoint),
+                radii=list(sa_cfg['RADIUS'][i]),
+                nsamples=list(sa_cfg['NSAMPLE'][i]),
+                mlps=[list(m) for m in sa_cfg['MLPS'][i]],
+                name=f'sa_{i}',
+            )(xyz[-1], mask[-1], feats[-1], train)
+            xyz.append(nx)
+            mask.append(nm)
+            feats.append(nf)
+        # FP back down the pyramid
+        for j, mlp in enumerate(reversed(fp_mlps)):
+            lvl = len(xyz) - 2 - j
+            feats[lvl] = FeaturePropagation(list(mlp), name=f'fp_{j}')(
+                xyz[lvl], mask[lvl], xyz[lvl + 1], mask[lvl + 1],
+                feats[lvl], feats[lvl + 1], train,
+            )
+        return {
+            'point_features': feats[0] if fp_mlps else feats[-1],
+            'point_coords': xyz[0] if fp_mlps else xyz[-1],
+            'point_mask': mask[0] if fp_mlps else mask[-1],
+            'sa_features': feats,
+            'sa_xyz': xyz,
+        }
+
+
+class PointHeadSimple(nn.Module):
+    """Per-point foreground classification head (reference
+    point_head_simple.py): fc stack → class logits; targets = points inside
+    (enlarged) gt boxes."""
+
+    model_cfg: Any
+    num_class: int
+
+    @nn.compact
+    def __call__(self, point_features, point_mask, train: bool):
+        x = point_features
+        for w in self.model_cfg.get('CLS_FC', [256, 256]):
+            x = LinearBNReLU(w)(x, point_mask, train)
+        logits = nn.Dense(self.num_class)(x)
+        return logits
+
+
+def point_head_targets(points_xyz, point_mask, gt_boxes, gt_mask,
+                       extra_width=0.2):
+    """Per-point class targets: index of the first containing gt box → its class
+    (reference assign_stack_targets, point_head_template.py). Returns labels
+    [B, N] (0 background)."""
+    from ..ops.geometry import boxes_to_corners_bev  # noqa: F401 (doc link)
+
+    def one(pts, pm, boxes, bm):
+        d = pts[:, None, :2] - boxes[None, :, :2]
+        c, s = jnp.cos(boxes[:, 6]), jnp.sin(boxes[:, 6])
+        u = d[..., 0] * c[None] + d[..., 1] * s[None]
+        v = -d[..., 0] * s[None] + d[..., 1] * c[None]
+        inz = jnp.abs(pts[:, None, 2] - boxes[None, :, 2]) <= (
+            boxes[None, :, 5] / 2 + extra_width
+        )
+        inside = (
+            (jnp.abs(u) <= boxes[None, :, 3] / 2 + extra_width)
+            & (jnp.abs(v) <= boxes[None, :, 4] / 2 + extra_width)
+            & inz & bm[None, :] & pm[:, None]
+        )
+        first = jnp.argmax(inside, axis=1)
+        has = jnp.any(inside, axis=1)
+        cls = boxes[first, 7].astype(jnp.int32)
+        return jnp.where(has, cls, 0)
+
+    return jax.vmap(one)(points_xyz, point_mask, gt_boxes, gt_mask)
