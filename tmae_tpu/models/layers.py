@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.01  # torch momentum 0.01 → flax momentum 0.99
+CONV_DTYPE = jnp.bfloat16  # matmul/conv compute dtype (params stay f32)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -102,8 +103,8 @@ class ConvBNReLU(nn.Module):
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-        )(x)
+            use_bias=self.use_bias, dtype=CONV_DTYPE,
+        )(x).astype(jnp.float32)
         x = BatchNorm2d(epsilon=self.epsilon, momentum=self.momentum)(
             x, use_running_average=not train
         )
@@ -122,7 +123,8 @@ class DeconvBNReLU(nn.Module):
         x = nn.ConvTranspose(
             self.features, (self.stride, self.stride),
             strides=(self.stride, self.stride), use_bias=False,
-        )(x)
+            dtype=CONV_DTYPE,
+        )(x).astype(jnp.float32)
         x = BatchNorm2d()(x, use_running_average=not train)
         return nn.relu(x)
 
@@ -155,7 +157,8 @@ class SubMConvBlock(nn.Module):
     @nn.compact
     def __call__(self, grid, occ, train: bool):
         """grid [B, H, W, C] (zeros at inactive), occ [B, H, W] bool."""
-        x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False)(grid)
+        x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
+                    dtype=CONV_DTYPE)(grid).astype(jnp.float32)
         x = jnp.where(occ[..., None], x, 0.0)
         x = MaskedBatchNorm()(x, occ, use_running_average=not train)
         return nn.relu(x)
@@ -176,8 +179,8 @@ class StridedSparseConvBlock(nn.Module):
         # differently; use explicit padding (1, 1) to match.
         x = nn.Conv(
             self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-            use_bias=False,
-        )(grid)
+            use_bias=False, dtype=CONV_DTYPE,
+        )(grid).astype(jnp.float32)
         x = jnp.where(occ_out[..., None], x, 0.0)
         x = MaskedBatchNorm()(x, occ_out, use_running_average=not train)
         return nn.relu(x)
