@@ -184,6 +184,9 @@ class DataBaseSampler:
                 }
         self.limit_whole_scene = sampler_cfg.get('LIMIT_WHOLE_SCENE', False)
         self.num_point_features = int(sampler_cfg.get('NUM_POINT_FEATURES', 4))
+        # FADE_EPOCH: stop pasting after this epoch (database_sampler.py:224-225)
+        self.fade_epoch = sampler_cfg.get('FADE_EPOCH', None)
+        self.cur_epoch = 0
 
     def _sample_class(self, name, num):
         infos = self.db_infos.get(name, [])
@@ -213,6 +216,8 @@ class DataBaseSampler:
         gt_boxes = data.get('gt_boxes')
         gt_names = data.get('gt_names')
         if gt_boxes is None:
+            return data
+        if self.fade_epoch is not None and self.cur_epoch >= int(self.fade_epoch):
             return data
         existing = gt_boxes[:, :7].copy()
         sampled_boxes, sampled_names, sampled_points = [], [], []
@@ -283,6 +288,11 @@ class DataAugmentor:
                 self.queue.append(
                     (lambda f, c: (lambda d: f(d, c, self.rng)))(fn, cfg)
                 )
+
+    def set_epoch(self, epoch):
+        for step in self.queue:
+            if isinstance(step, DataBaseSampler):
+                step.cur_epoch = epoch
 
     def __call__(self, data):
         for step in self.queue:

@@ -117,6 +117,9 @@ class DataLoader:
 
     def set_epoch(self, epoch):
         self.epoch = epoch
+        aug = getattr(self.dataset, 'augmentor', None)
+        if aug is not None:
+            aug.set_epoch(epoch)
 
     def _indices(self):
         n = len(self.dataset)

@@ -40,6 +40,12 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
     det_annos = []
     infer_time = 0.0
     n_samples = 0
+    recall_threshs = list(
+        cfg['MODEL'].get('POST_PROCESSING', {}).get('RECALL_THRESH_LIST',
+                                                    [0.3, 0.5, 0.7])
+    )
+    recall = {t: 0 for t in recall_threshs}
+    total_gt = 0
     model_inputs = ('points', 'point_mask', 'points_prev', 'point_mask_prev')
     for batch in loader:
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -55,12 +61,32 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
             batch['frame_id'], np.asarray(boxes), np.asarray(scores),
             np.asarray(labels), np.asarray(valid), class_names,
         )
+        # recall bookkeeping (detector3d_template.generate_recall_record role)
+        if 'gt_boxes' in batch:
+            from ..ops.geometry_np import boxes_iou3d
+            for b in range(len(batch['frame_id'])):
+                gm = np.asarray(batch['gt_mask'][b])
+                gt = np.asarray(batch['gt_boxes'][b])[gm][:, :7]
+                total_gt += len(gt)
+                if len(gt) == 0:
+                    continue
+                pv = np.asarray(valid[b])
+                pred = np.asarray(boxes[b])[pv][:, :7]
+                if len(pred) == 0:
+                    continue
+                best = boxes_iou3d(gt.astype(np.float64),
+                                   pred.astype(np.float64)).max(axis=1)
+                for t in recall_threshs:
+                    recall[t] += int((best > t).sum())
     if jax.process_count() > 1:  # pragma: no cover - multi-host only
         from jax.experimental import multihost_utils
         gathered = multihost_utils.process_allgather(det_annos)
         det_annos = [a for part in gathered for a in part]
     sec_per_sample = infer_time / max(n_samples, 1)
     logger.info('eval: %.4f sec/sample (%d samples)', sec_per_sample, n_samples)
+    for t in recall_threshs:
+        logger.info('recall_rcnn_%.1f: %.4f', t,
+                    recall[t] / max(total_gt, 1))
     if result_dir is not None:
         result_dir = Path(result_dir)
         result_dir.mkdir(parents=True, exist_ok=True)
