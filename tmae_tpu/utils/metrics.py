@@ -45,7 +45,7 @@ class MetricsLogger:
     """Scalars → metrics.jsonl (always) + TensorBoard event files (when torch's
     SummaryWriter imports; replaces tensorboardX, train_utils.py:128-132)."""
 
-    def __init__(self, log_dir, enable_tensorboard=True):
+    def __init__(self, log_dir, enable_tensorboard=True, wandb_project=None):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / 'metrics.jsonl', 'a')
@@ -56,6 +56,16 @@ class MetricsLogger:
                 self._tb = SummaryWriter(str(self.log_dir / 'tensorboard'))
             except Exception:
                 self._tb = None
+        # optional wandb mirror (reference train.py:176-181); silently skipped
+        # when wandb isn't installed in the image
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=wandb_project,
+                                         dir=str(self.log_dir))
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, scalars: dict):
         rec = {'step': int(step)}
@@ -70,6 +80,8 @@ class MetricsLogger:
             for k, v in rec.items():
                 if k != 'step':
                     self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(rec, step=step)
 
     def close(self):
         self._jsonl.close()
