@@ -17,11 +17,17 @@ log = logging.getLogger(__name__)
 
 
 def save_checkpoint(ckpt_dir, state, step: int, max_keep: int = 5):
+    from flax import serialization
+
     ckpt_dir = Path(ckpt_dir).resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f'checkpoint_{step}'
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
+    # store as a plain state dict: robust to dataclass/pytree registration
+    # differences between the saving and restoring process
+    ckptr.save(
+        path, serialization.to_state_dict(jax.device_get(state)), force=True
+    )
     ckptr.wait_until_finished()
     # retention pruning by step (train_utils.py:218-235 equivalent)
     ckpts = sorted(
@@ -46,8 +52,12 @@ def latest_checkpoint(ckpt_dir):
 
 
 def restore_checkpoint(path, target_state):
+    from flax import serialization
+
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).resolve(), target=jax.device_get(target_state))
+    target_sd = serialization.to_state_dict(jax.device_get(target_state))
+    raw = ckptr.restore(Path(path).resolve(), target=target_sd)
+    return serialization.from_state_dict(target_state, raw)
 
 
 def load_pretrained_params(path, params, batch_stats=None):
