@@ -230,13 +230,50 @@ def _fwd(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo, tau,
                  tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
 
 
+BWD_CHUNK = 512  # windows per backward recompute chunk (bounds logits memory)
+
+
 def _bwd(nhead, tau_min, cross, residuals, g):
-    _, vjp = jax.vjp(
-        lambda *a: reference_encoder_layer(*a, nhead=nhead, tau_min=tau_min,
-                                           cross=cross),
-        *residuals,
-    )
-    return vjp(g)
+    """Chunked backward: re-derives the layer per window-chunk so the recomputed
+    attention logits ([chunk, H, T, T]) never exceed a bounded footprint —
+    without this, differentiating the whole layer materializes ~0.5 GB of logits
+    per layer and B=4 training overflows a 16 GB chip."""
+    xw, kvw, qmask, kmask, pos = residuals[:5]
+    weights = residuals[5:]
+    N = xw.shape[0]
+    C = BWD_CHUNK
+    padded = ((N + C - 1) // C) * C
+    padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+    xw_p, kvw_p, qm_p, km_p, g_p = (padz(xw), padz(kvw), padz(qmask),
+                                    padz(kmask), padz(g))
+    nchunk = padded // C
+    resh = lambda a: a.reshape(nchunk, C, *a.shape[1:])
+    xs = (resh(xw_p), resh(kvw_p), resh(qm_p), resh(km_p), resh(g_p))
+
+    def chunk_grad(carry, chunk):
+        cxw, ckvw, cqm, ckm, cg = chunk
+
+        def f(cx, ckv, *w):
+            return reference_encoder_layer(
+                cx, ckv, cqm, ckm, pos, *w, nhead=nhead, tau_min=tau_min,
+                cross=cross,
+            )
+
+        _, vjp = jax.vjp(f, cxw, ckvw, *weights)
+        grads = vjp(cg)
+        gx, gkv = grads[0], grads[1]
+        gw = grads[2:]
+        carry = jax.tree.map(jnp.add, carry, tuple(gw))
+        return carry, (gx, gkv)
+
+    w_zero = tuple(jnp.zeros_like(w) for w in weights)
+    gw_sum, (gx_all, gkv_all) = jax.lax.scan(chunk_grad, w_zero, xs)
+    gx = gx_all.reshape(padded, *xw.shape[1:])[:N]
+    gkv = gkv_all.reshape(padded, *kvw.shape[1:])[:N]
+    gq = jnp.zeros_like(qmask)
+    gk = jnp.zeros_like(kmask)
+    gpos = jnp.zeros_like(pos)
+    return (gx, gkv, gq, gk, gpos) + gw_sum
 
 
 fused_encoder_layer.defvjp(_fwd, _bwd)
