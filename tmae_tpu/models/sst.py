@@ -322,9 +322,13 @@ class SSTBlock(nn.Module):
             )
 
         x, occ = grid.x, grid.occ
+        conv_remat = (nn.remat(StridedSparseConvBlock, static_argnums=(3,))
+                      if self.remat else StridedSparseConvBlock)
+        subm_remat = (nn.remat(SubMConvBlock, static_argnums=(3,))
+                      if self.remat else SubMConvBlock)
         if stride > 1:
             occ_out = occ_downsample(occ)
-            x = StridedSparseConvBlock(d_model, name='conv_down')(
+            x = conv_remat(d_model, name='conv_down')(
                 x, occ_out, train
             )
             occ = occ_out
@@ -351,7 +355,7 @@ class SSTBlock(nn.Module):
 
         # residual add (spt_backbone.py:349-351) then SubM conv_out
         y = x + g.x
-        y = SubMConvBlock(d_model_out, name='conv_out')(y, occ, train)
+        y = subm_remat(d_model_out, name='conv_out')(y, occ, train)
         return DenseGrid(x=y, occ=occ)
 
 

@@ -46,5 +46,6 @@ class WCABlock(nn.Module):
         )(grid, grid_prv)
 
         y = grid.x + g.x  # residual add (SiamWCA.py:438-444)
-        y = SubMConvBlock(d_model, name='conv_out')(y, grid.occ, train)
+        y = nn.remat(SubMConvBlock, static_argnums=(3,))(
+            d_model, name='conv_out')(y, grid.occ, train)
         return DenseGrid(x=y, occ=grid.occ)
