@@ -120,5 +120,54 @@ def test_waymo_eval_protocol(tmp_path):
             'boxes_3d': np.asarray(info['annos']['gt_boxes_lidar'])[:, :7],
             'score': np.array([0.9, 0.8]),
         })
-    s, d = ds.evaluation(det, CLASSES)
+    s, d = ds.evaluation(det, CLASSES, eval_metric='kitti')
     assert d['AP_Vehicle/overall'] == 100.0
+
+
+def test_waymo_ap_aph_metrics(tmp_path):
+    from tmae_tpu.datasets.waymo_eval import waymo_evaluation
+    gt = [{
+        'name': np.array(['Vehicle', 'Vehicle', 'Pedestrian']),
+        'boxes_3d': np.array([[0, 0, 0, 4, 2, 1.6, 0.0],
+                              [10, 0, 0, 4, 2, 1.6, 1.0],
+                              [5, 5, 0, 0.8, 0.8, 1.7, 0.0]]),
+        'num_points_in_gt': np.array([50, 3, 20]),  # 2nd vehicle is L2-only
+    }]
+    # perfect boxes; second vehicle predicted with heading flipped by pi
+    pred_boxes = gt[0]['boxes_3d'].copy()
+    pred_boxes[1, 6] += np.pi
+    pred = [{
+        'name': np.array(['Vehicle', 'Vehicle', 'Pedestrian']),
+        'boxes_3d': pred_boxes,
+        'score': np.array([0.9, 0.8, 0.85]),
+    }]
+    s, d = waymo_evaluation(gt, pred)
+    # L1 vehicle: only the >5-point vehicle counts; matched exactly → AP 100
+    assert d['Vehicle/L1/AP'] == 100.0
+    assert d['Vehicle/L1/APH'] == 100.0
+    # L2 includes the flipped-heading vehicle: AP 100 but APH penalized
+    assert d['Vehicle/L2/AP'] == 100.0
+    assert 40.0 < d['Vehicle/L2/APH'] < 60.0  # one of two TPs has 0 heading acc
+    assert d['Pedestrian/L1/AP'] == 100.0
+    assert 'mAPH/L2' in d
+
+
+def test_waymo_dataset_eval_dispatch(tmp_path):
+    root = make_waymo_fixture(tmp_path)
+    cfg = _cfg(root)
+    runtime = {'MAX_POINTS': 512, 'MAX_VOXELS': [256], 'MAX_GT': 8}
+    ds, _ = build_dataloader(
+        cfg, CLASSES, batch_size=1, training=False, runtime_cfg=runtime,
+        root_path=str(root), seed=0,
+    )
+    det = []
+    for itv in ds.intervals:
+        info = ds.infos[itv[1] - 1]
+        det.append({
+            'name': np.asarray(info['annos']['name']),
+            'boxes_3d': np.asarray(info['annos']['gt_boxes_lidar'])[:, :7],
+            'score': np.array([0.9, 0.8]),
+        })
+    s, d = ds.evaluation(det, CLASSES)  # waymo_custom AP/APH path
+    assert d['Vehicle/L1/AP'] == 100.0
+    assert d['mAPH/L1'] == 100.0

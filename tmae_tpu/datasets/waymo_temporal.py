@@ -198,14 +198,23 @@ class WaymoTemporalDataset(DatasetTemplate):
             annos = info['annos']
             names = np.asarray(annos['name'])
             keep = names != 'unknown'
-            gt_annos.append({
+            anno = {
                 'name': names[keep],
                 'boxes_3d': np.asarray(annos['gt_boxes_lidar'])[keep][:, :7],
-            })
-        return get_evaluation_results(
-            gt_annos, det_annos, class_names, use_superclass=False,
-            iou_thresholds={'Vehicle': 0.7, 'Pedestrian': 0.5, 'Cyclist': 0.5},
-        )
+            }
+            if 'num_points_in_gt' in annos:
+                anno['num_points_in_gt'] = np.asarray(
+                    annos['num_points_in_gt'])[keep]
+            gt_annos.append(anno)
+        if eval_metric == 'kitti':
+            # ONCE-protocol fallback (the reference's 'kitti' dispatch role)
+            return get_evaluation_results(
+                gt_annos, det_annos, class_names, use_superclass=False,
+                iou_thresholds={'Vehicle': 0.7, 'Pedestrian': 0.5,
+                                'Cyclist': 0.5},
+            )
+        from .waymo_eval import waymo_evaluation
+        return waymo_evaluation(gt_annos, det_annos, tuple(class_names))
 
     @staticmethod
     def generate_prediction_dicts(frame_ids, boxes, scores, labels, valid,

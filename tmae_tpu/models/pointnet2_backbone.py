@@ -162,3 +162,77 @@ def point_head_targets(points_xyz, point_mask, gt_boxes, gt_mask,
         return jnp.where(has, cls, 0)
 
     return jax.vmap(one)(points_xyz, point_mask, gt_boxes, gt_mask)
+
+
+class PointHeadBox(nn.Module):
+    """Point-wise classification + box regression head (reference
+    ``dense_heads/point_head_box.py``): cls FC stack + box FC stack with the
+    PointResidualCoder. Targets: a point inside a gt box takes the box's class
+    and its point-residual encoding."""
+
+    model_cfg: Any
+    num_class: int
+
+    @nn.compact
+    def __call__(self, point_features, point_mask, train: bool):
+        xc = point_features
+        for wi, w in enumerate(self.model_cfg.get('CLS_FC', [256, 256])):
+            xc = LinearBNReLU(w, name=f'cls_fc{wi}')(xc, point_mask, train)
+        cls_logits = nn.Dense(self.num_class, name='cls_out')(xc)
+        xb = point_features
+        for wi, w in enumerate(self.model_cfg.get('REG_FC', [256, 256])):
+            xb = LinearBNReLU(w, name=f'reg_fc{wi}')(xb, point_mask, train)
+        box_code = nn.Dense(
+            int(self.model_cfg.get('BOX_CODER_CONFIG', {}).get('code_size', 8)),
+            name='box_out',
+        )(xb)
+        return cls_logits, box_code
+
+
+def point_head_box_loss(cls_logits, box_code, points_xyz, point_mask, gt_boxes,
+                        gt_mask, coder, loss_weights=None):
+    """Focal cls + smooth-L1 box residual loss over foreground points
+    (point_head_template.get_cls_layer_loss/get_box_layer_loss)."""
+    from .pointnet2_backbone import point_head_targets
+    from ..ops.losses import weighted_smooth_l1
+
+    labels = point_head_targets(points_xyz, point_mask, gt_boxes, gt_mask)
+    num_class = cls_logits.shape[-1]
+    one_hot = jax.nn.one_hot(jnp.clip(labels, 0), num_class + 1)[..., 1:]
+    pos = (labels > 0) & point_mask
+    neg = (labels == 0) & point_mask
+    cls_w = (pos | neg).astype(jnp.float32) / jnp.maximum(
+        pos.sum(axis=1, keepdims=True), 1.0
+    )
+    # sigmoid focal (loss_utils.SigmoidFocalClassification)
+    p = jax.nn.sigmoid(cls_logits)
+    alpha_w = one_hot * 0.25 + (1 - one_hot) * 0.75
+    pt = one_hot * (1 - p) + (1 - one_hot) * p
+    bce = jnp.clip(cls_logits, 0) - cls_logits * one_hot + jnp.log1p(
+        jnp.exp(-jnp.abs(cls_logits))
+    )
+    cls_loss = (alpha_w * pt ** 2 * bce * cls_w[..., None]).sum() / \
+        cls_logits.shape[0]
+
+    # box residuals at foreground points vs their first containing gt box
+    def one(pts, pm, boxes, bm, lab):
+        d = pts[:, None, :2] - boxes[None, :, :2]
+        c, s = jnp.cos(boxes[:, 6]), jnp.sin(boxes[:, 6])
+        u = d[..., 0] * c[None] + d[..., 1] * s[None]
+        v = -d[..., 0] * s[None] + d[..., 1] * c[None]
+        inz = jnp.abs(pts[:, None, 2] - boxes[None, :, 2]) <= boxes[None, :, 5] / 2
+        inside = ((jnp.abs(u) <= boxes[None, :, 3] / 2)
+                  & (jnp.abs(v) <= boxes[None, :, 4] / 2) & inz & bm[None, :])
+        first = jnp.argmax(inside, axis=1)
+        return boxes[first]
+
+    tgt_boxes = jax.vmap(one)(points_xyz, point_mask, gt_boxes, gt_mask, labels)
+    enc = coder.encode(tgt_boxes[..., :7].astype(jnp.float32),
+                       points_xyz, labels)
+    reg = weighted_smooth_l1(box_code, enc[..., :box_code.shape[-1]],
+                             weights=pos.astype(jnp.float32))
+    box_loss = reg.sum() / jnp.maximum(pos.sum(), 1.0)
+    lw = loss_weights or {'point_cls_weight': 1.0, 'point_box_weight': 1.0}
+    total = (cls_loss * lw.get('point_cls_weight', 1.0)
+             + box_loss * lw.get('point_box_weight', 1.0))
+    return total, {'point_cls_loss': cls_loss, 'point_box_loss': box_loss}

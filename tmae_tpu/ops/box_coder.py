@@ -102,3 +102,62 @@ def nearest_bev_iou(boxes_a, boxes_b):
     area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
     area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
     return inter / jnp.clip(area_a + area_b - inter, 1e-6)
+
+
+class PointResidualCoder:
+    """Point-to-box residual coding (box_coder_utils.py:81-160): offsets relative
+    to per-class mean sizes, heading as cos/sin."""
+
+    def __init__(self, code_size=8, use_mean_size=True, mean_size=None):
+        self.code_size = code_size
+        self.use_mean_size = use_mean_size
+        if use_mean_size:
+            self.mean_size = jnp.asarray(mean_size, jnp.float32)  # [num_cls, 3]
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        """gt_boxes [..., 7+], points [..., 3], gt_classes [...] (1-indexed)."""
+        g = gt_boxes.at[..., 3:6].set(jnp.clip(gt_boxes[..., 3:6], 1e-5))
+        xg, yg, zg = g[..., 0], g[..., 1], g[..., 2]
+        dxg, dyg, dzg, rg = g[..., 3], g[..., 4], g[..., 5], g[..., 6]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            anc = self.mean_size[jnp.clip(gt_classes - 1, 0,
+                                          self.mean_size.shape[0] - 1)]
+            dxa, dya, dza = anc[..., 0], anc[..., 1], anc[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt, yt, zt = (xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza
+            dxt = jnp.log(dxg / dxa)
+            dyt = jnp.log(dyg / dya)
+            dzt = jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        parts = [xt, yt, zt, dxt, dyt, dzt, jnp.cos(rg), jnp.sin(rg)]
+        out = jnp.stack(parts, axis=-1)
+        if gt_boxes.shape[-1] > 7:
+            out = jnp.concatenate([out, gt_boxes[..., 7:]], axis=-1)
+        return out
+
+    def decode(self, encodings, points, pred_classes=None):
+        xt, yt, zt = encodings[..., 0], encodings[..., 1], encodings[..., 2]
+        dxt, dyt, dzt = encodings[..., 3], encodings[..., 4], encodings[..., 5]
+        cost, sint = encodings[..., 6], encodings[..., 7]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            anc = self.mean_size[jnp.clip(pred_classes - 1, 0,
+                                          self.mean_size.shape[0] - 1)]
+            dxa, dya, dza = anc[..., 0], anc[..., 1], anc[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg, yg, zg = xt * diag + xa, yt * diag + ya, zt * dza + za
+            dxg = jnp.exp(dxt) * dxa
+            dyg = jnp.exp(dyt) * dya
+            dzg = jnp.exp(dzt) * dza
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = jnp.arctan2(sint, cost)
+        parts = [xg, yg, zg, dxg, dyg, dzg, rg]
+        out = jnp.stack(parts, axis=-1)
+        if encodings.shape[-1] > 8:
+            out = jnp.concatenate([out, encodings[..., 8:]], axis=-1)
+        return out
