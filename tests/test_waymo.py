@@ -170,4 +170,7 @@ def test_waymo_dataset_eval_dispatch(tmp_path):
         })
     s, d = ds.evaluation(det, CLASSES)  # waymo_custom AP/APH path
     assert d['Vehicle/L1/AP'] == 100.0
-    assert d['mAPH/L1'] == 100.0
+    assert d['Vehicle/L1/APH'] == 100.0
+    # pedestrians (5 pts) are L2-only; cyclists absent
+    assert d['Pedestrian/L1/AP'] == 0.0
+    assert d['Pedestrian/L2/AP'] == 100.0
