@@ -19,10 +19,40 @@ from ..ops.pointnet2 import (
 from .layers import LinearBNReLU
 
 
+class GroupedMSG(nn.Module):
+    """Multi-scale grouping core (given centers): per-radius ball query +
+    grouped MLP + max-pool, concatenated over scales."""
+
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per scale
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, centers, center_mask, train: bool):
+        outs = []
+        for si, (radius, nsample, widths) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            grouped, gidx, cnt = query_and_group(
+                radius, nsample, xyz, mask, centers, center_mask, features,
+            )
+            B, S, K, C = grouped.shape
+            x = grouped.reshape(B, S * K, C)
+            gmask = jnp.repeat(
+                (cnt > 0) & center_mask, K, axis=1
+            ).reshape(B, S * K)
+            for wi, w in enumerate(widths):
+                x = LinearBNReLU(w, name=f'scale{si}_mlp{wi}')(x, gmask, train)
+            x = x.reshape(B, S, K, -1)
+            x = jnp.max(jnp.where(gmask.reshape(B, S, K, 1), x, -jnp.inf),
+                        axis=2)
+            x = jnp.where(((cnt > 0) & center_mask)[..., None], x, 0.0)
+            outs.append(x)
+        return jnp.concatenate(outs, axis=-1)
+
+
 class SetAbstractionMSG(nn.Module):
-    """Multi-scale-grouping SA layer: FPS centers, per-radius ball query +
-    grouped MLP + max-pool, concatenated over scales (reference
-    PointnetSAModuleMSG)."""
+    """SA layer: FPS centers + GroupedMSG (reference PointnetSAModuleMSG)."""
 
     npoint: int
     radii: Sequence[float]
@@ -36,26 +66,10 @@ class SetAbstractionMSG(nn.Module):
         idx = farthest_point_sample(xyz, mask, self.npoint)
         new_xyz = gather_points(xyz, idx)
         new_mask = jnp.take_along_axis(mask, idx, axis=1)
-        outs = []
-        for si, (radius, nsample, widths) in enumerate(
-            zip(self.radii, self.nsamples, self.mlps)
-        ):
-            grouped, gidx, cnt = query_and_group(
-                radius, nsample, xyz, mask, new_xyz, new_mask, features,
-            )
-            B, S, K, C = grouped.shape
-            x = grouped.reshape(B, S * K, C)
-            gmask = jnp.repeat(
-                (cnt > 0) & new_mask, K, axis=1
-            ).reshape(B, S * K)
-            for wi, w in enumerate(widths):
-                x = LinearBNReLU(w, name=f'scale{si}_mlp{wi}')(x, gmask, train)
-            x = x.reshape(B, S, K, -1)
-            x = jnp.max(jnp.where(gmask.reshape(B, S, K, 1), x, -jnp.inf),
-                        axis=2)
-            x = jnp.where(((cnt > 0) & new_mask)[..., None], x, 0.0)
-            outs.append(x)
-        return new_xyz, new_mask, jnp.concatenate(outs, axis=-1)
+        f = GroupedMSG(self.radii, self.nsamples, self.mlps, name='grouped')(
+            xyz, mask, features, new_xyz, new_mask, train
+        )
+        return new_xyz, new_mask, f
 
 
 class FeaturePropagation(nn.Module):
