@@ -105,3 +105,27 @@ def test_anchor_head_forward_assign_loss_decode():
     assert cls_preds.shape == (2, 16 * 16 * 4, 2)
     assert boxes.shape == (2, 16 * 16 * 4, 7)
     assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_anchor_head_multi_shapes():
+    from tmae_tpu.models.anchor_head import AnchorHeadMulti
+    cfg = {
+        'ANCHOR_GENERATOR_CONFIG': [
+            {'class_name': c, 'anchor_sizes': [[4, 2, 1.6]],
+             'anchor_rotations': [0, 1.57], 'anchor_bottom_heights': [-1.78],
+             'align_center': False, 'feature_map_stride': 2,
+             'matched_threshold': 0.5, 'unmatched_threshold': 0.35}
+            for c in ('Car', 'Pedestrian', 'Cyclist')],
+        'RPN_HEAD_CFGS': [{'HEAD_CLS_NAME': ['Car']},
+                          {'HEAD_CLS_NAME': ['Pedestrian', 'Cyclist']}],
+        'SHARED_CONV_NUM_FILTER': 16,
+    }
+    head = AnchorHeadMulti(cfg, 3, ('Car', 'Pedestrian', 'Cyclist'),
+                           (32, 32), (-5.12, -5.12, -5, 5.12, 5.12, 3))
+    x = jnp.zeros((1, 16, 16, 8))
+    v = head.init(jax.random.PRNGKey(0), x, False)
+    outs = head.apply(v, x, False)
+    assert len(outs) == 2
+    assert outs[0]['cls_preds'].shape[-1] == 2   # Car: 2 anchors x 1 class
+    assert outs[1]['cls_preds'].shape[-1] == 8   # Ped+Cyc: 4 anchors x 2 cls
+    assert outs[1]['box_preds'].shape[-1] == 28  # 4 anchors x 7

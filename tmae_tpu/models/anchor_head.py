@@ -272,3 +272,65 @@ def anchor_head_predict(head: AnchorHeadSingle, outputs):
             rot + dir_offset + period * dir_labels.astype(boxes.dtype)
         )
     return cls_preds, boxes
+
+
+class AnchorHeadMulti(nn.Module):
+    """Grouped multi-head anchor head (reference ``dense_heads/anchor_head_multi
+    .py``): a shared conv trunk + one small conv head per class group, each
+    predicting its own cls/box (and optional dir) maps. Anchors/targets reuse the
+    same generator and axis-aligned assigner as AnchorHeadSingle."""
+
+    model_cfg: Any
+    num_class: int
+    class_names: Sequence[str]
+    grid_size: tuple  # (nx, ny)
+    pc_range: tuple
+
+    def setup(self):
+        anchor_cfgs = self.model_cfg['ANCHOR_GENERATOR_CONFIG']
+        self.groups = [
+            list(g['HEAD_CLS_NAME'])
+            for g in self.model_cfg['RPN_HEAD_CFGS']
+        ]
+        self.anchors = [
+            jnp.asarray(a) for a in
+            generate_anchors(anchor_cfgs, self.grid_size, self.pc_range)
+        ]
+        self.cfg_by_name = {c['class_name']: c for c in anchor_cfgs}
+        self.coder = ResidualCoder(code_size=7)
+        shared_ch = int(self.model_cfg.get('SHARED_CONV_NUM_FILTER', 64))
+        self.shared = nn.Conv(shared_ch, (3, 3), padding='SAME',
+                              use_bias=False, name='shared_conv')
+        self.cls_heads = [
+            nn.Conv(self._group_anchors(gi) * len(names), (1, 1),
+                    bias_init=nn.initializers.constant(
+                        -float(np.log((1 - 0.01) / 0.01))),
+                    name=f'cls_head_{gi}')
+            for gi, names in enumerate(self.groups)
+        ]
+        self.box_heads = [
+            nn.Conv(self._group_anchors(gi) * self.coder.code_size, (1, 1),
+                    kernel_init=nn.initializers.normal(0.001),
+                    name=f'box_head_{gi}')
+            for gi in range(len(self.groups))
+        ]
+
+    def _cls_index(self, name):
+        return [c['class_name']
+                for c in self.model_cfg['ANCHOR_GENERATOR_CONFIG']].index(name)
+
+    def _group_anchors(self, gi):
+        return sum(
+            self.anchors[self._cls_index(n)].shape[2] for n in self.groups[gi]
+        )
+
+    def __call__(self, spatial_features_2d, train: bool):
+        x = nn.relu(self.shared(spatial_features_2d))
+        outs = []
+        for gi, names in enumerate(self.groups):
+            outs.append({
+                'cls_preds': self.cls_heads[gi](x),
+                'box_preds': self.box_heads[gi](x),
+                'head_cls_names': names,
+            })
+        return outs

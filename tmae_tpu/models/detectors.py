@@ -169,6 +169,7 @@ class GDMAE(TMAE):
 
 from .pointpillar import PointPillar  # noqa: E402
 from .second_net import SECONDNet  # noqa: E402
+from .ssd3d import SSD3D  # noqa: E402
 
 _DETECTORS = {
     'CenterPoint': CenterPoint,
@@ -176,6 +177,7 @@ _DETECTORS = {
     'GDMAE': GDMAE,
     'PointPillar': PointPillar,
     'SECONDNet': SECONDNet,
+    'SSD3D': SSD3D,
 }
 
 

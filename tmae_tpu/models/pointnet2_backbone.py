@@ -250,3 +250,130 @@ def point_head_box_loss(cls_logits, box_code, points_xyz, point_mask, gt_boxes,
     total = (cls_loss * lw.get('point_cls_weight', 1.0)
              + box_loss * lw.get('point_box_weight', 1.0))
     return total, {'point_cls_loss': cls_loss, 'point_box_loss': box_loss}
+
+
+class SetAbstractionFSMSG(nn.Module):
+    """Fusion-sampling MSG SA layer (reference ``PointnetSAModuleFSMSG``,
+    pointnet2_modules.py:212-297): centers come from a list of samplers
+    (D-FPS on xyz or F-FPS on xyz+feature distance), each drawing from a static
+    index range of the input order; grouping is optionally radius-dilated and an
+    aggregation MLP fuses the scales. With ``new_xyz`` given, sampling is skipped
+    (vote aggregation in PointHeadVote)."""
+
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per scale
+    npoint_list: Sequence[int] = ()
+    sample_range_list: Sequence[Sequence[int]] = ()
+    sample_method_list: Sequence[str] = ()
+    dilated_radius_group: bool = False
+    weight_gamma: float = 1.0
+    aggregation_mlp: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, xyz, mask, features, train: bool, new_xyz=None,
+                 new_mask=None):
+        from ..ops.pointnet2 import (
+            calc_dist_matrix_for_sampling, farthest_point_sample_matrix,
+        )
+
+        if new_xyz is None:
+            idx_list = []
+            for (npoints, (r0, r1), method) in zip(
+                self.npoint_list, self.sample_range_list,
+                self.sample_method_list,
+            ):
+                r1 = xyz.shape[1] if r1 == -1 else int(r1)
+                xyz_s, mask_s = xyz[:, r0:r1], mask[:, r0:r1]
+                if method == 'd-fps':
+                    idx = farthest_point_sample(xyz_s, mask_s, int(npoints))
+                elif method == 'f-fps':
+                    feat_s = (features[:, r0:r1]
+                              if features is not None else None)
+                    dm = calc_dist_matrix_for_sampling(
+                        xyz_s, feat_s, self.weight_gamma
+                    )
+                    idx = farthest_point_sample_matrix(
+                        dm, mask_s, int(npoints)
+                    )
+                else:
+                    raise NotImplementedError(method)
+                idx_list.append(idx + r0)
+            idx = jnp.concatenate(idx_list, axis=-1)
+            new_xyz = gather_points(xyz, idx)
+            new_mask = jnp.take_along_axis(mask, idx, axis=1)
+
+        outs = []
+        former_radius = 0.0
+        for si, (radius, nsample, widths) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            min_r = former_radius if self.dilated_radius_group else 0.0
+            grouped, gidx, cnt = query_and_group(
+                float(radius), int(nsample), xyz, mask, new_xyz, new_mask,
+                features, min_radius=float(min_r),
+            )
+            former_radius = float(radius)
+            B, S, K, C = grouped.shape
+            x = grouped.reshape(B, S * K, C)
+            gmask = jnp.repeat(
+                (cnt > 0) & new_mask, K, axis=1
+            ).reshape(B, S * K)
+            for wi, w in enumerate(widths):
+                x = LinearBNReLU(w, name=f'scale{si}_mlp{wi}')(x, gmask, train)
+            x = x.reshape(B, S, K, -1)
+            x = jnp.max(jnp.where(gmask.reshape(B, S, K, 1), x, -jnp.inf),
+                        axis=2)
+            x = jnp.where(((cnt > 0) & new_mask)[..., None], x, 0.0)
+            outs.append(x)
+        x = jnp.concatenate(outs, axis=-1)
+        for wi, w in enumerate(self.aggregation_mlp):
+            x = LinearBNReLU(w, name=f'agg_mlp{wi}')(x, new_mask, train)
+        return new_xyz, new_mask, x
+
+
+class PointNet2SAMSG(nn.Module):
+    """Fusion-sampling SA-only backbone for SSD3D (reference ``PointNet2SAMSG``,
+    pointnet2_backbone.py:95-189): a stack of SetAbstractionFSMSG layers; the
+    last level's points/features feed the vote head, earlier levels are exposed
+    as auxiliary point sets. Config keys mirror the reference SA_CONFIG:
+    NPOINTS / SAMPLE_RANGE / SAMPLE_METHOD / RADIUS / NSAMPLE / MLPS /
+    AGGREGATION_MLPS (+ DILATED_RADIUS_GROUP, WEIGHT_GAMMA)."""
+
+    model_cfg: Any
+
+    @nn.compact
+    def __call__(self, points_xyz, point_mask, point_features, train: bool):
+        sa = self.model_cfg['SA_CONFIG']
+        xyz, mask, feats = [points_xyz], [point_mask], [point_features]
+        for i in range(len(sa['NPOINTS'])):
+            nx, nm, nf = SetAbstractionFSMSG(
+                radii=list(sa['RADIUS'][i]),
+                nsamples=list(sa['NSAMPLE'][i]),
+                mlps=[list(m) for m in sa['MLPS'][i]],
+                npoint_list=[int(n) for n in sa['NPOINTS'][i]],
+                sample_range_list=[list(r) for r in sa['SAMPLE_RANGE'][i]],
+                sample_method_list=list(sa['SAMPLE_METHOD'][i]),
+                dilated_radius_group=bool(
+                    sa.get('DILATED_RADIUS_GROUP', False)
+                ),
+                weight_gamma=float(sa.get('WEIGHT_GAMMA', 1.0)),
+                aggregation_mlp=list(sa['AGGREGATION_MLPS'][i])
+                if sa.get('AGGREGATION_MLPS') else (),
+                name=f'sa_{i}',
+            )(xyz[-1], mask[-1], feats[-1], train)
+            xyz.append(nx)
+            mask.append(nm)
+            feats.append(nf)
+        # this reference version has no per-level confidence branch, so the
+        # aux lists carry coordinates only (pointnet2_backbone.py:164-171
+        # appends nothing when li_scores is None)
+        return {
+            'point_coords': xyz[-1],
+            'point_mask': mask[-1],
+            'point_features': feats[-1],
+            'sa_xyz': xyz,
+            'sa_mask': mask,
+            'aux_points_list': [],
+            'aux_cls_preds_list': [],
+        }

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -160,4 +161,90 @@ class PointResidualCoder:
         out = jnp.stack(parts, axis=-1)
         if encodings.shape[-1] > 8:
             out = jnp.concatenate([out, encodings[..., 8:]], axis=-1)
+        return out
+
+
+class PointBinResidualCoder:
+    """Point-to-box coding with binned heading (box_coder_utils.py:162-260,
+    used by PointHeadVote/SSD3D): xyz offsets normalized by per-class mean-size
+    diagonal, log dims, heading as (bin one-hot, per-bin normalized residual).
+    code_size = 6 + 2 * angle_bin_num (+2 with velocity)."""
+
+    def __init__(self, angle_bin_num=12, use_mean_size=True, mean_size=None,
+                 pred_velo=False, **kwargs):
+        self.angle_bin_num = int(angle_bin_num)
+        self.pred_velo = bool(pred_velo)
+        self.code_size = 6 + 2 * self.angle_bin_num + (2 if pred_velo else 0)
+        self.use_mean_size = use_mean_size
+        if use_mean_size:
+            self.mean_size = jnp.asarray(mean_size, jnp.float32)  # [num_cls, 3]
+
+    def encode_angle(self, angle):
+        """angle [...] → (bin one-hot [..., N], normalized residual [..., N])."""
+        two_pi = 2 * jnp.pi
+        per = two_pi / self.angle_bin_num
+        shifted = jnp.mod(jnp.mod(angle, two_pi) + per / 2, two_pi)
+        cls = jnp.floor(shifted / per).astype(jnp.int32)
+        one_hot = jax.nn.one_hot(cls, self.angle_bin_num, dtype=jnp.float32)
+        res = (shifted - (cls * per + per / 2)) / per
+        return one_hot, one_hot * res[..., None]
+
+    def decode_angle(self, angle_cls, angle_res):
+        """(bin logits/one-hot [..., N], residuals [..., N]) → angle [...]."""
+        idx = jnp.argmax(angle_cls, axis=-1)
+        one_hot = jax.nn.one_hot(idx, self.angle_bin_num, dtype=angle_res.dtype)
+        res = jnp.sum(one_hot * angle_res, axis=-1)
+        per = 2 * jnp.pi / self.angle_bin_num
+        return (idx.astype(angle_res.dtype) + res) * per
+
+    def encode(self, gt_boxes, points, gt_classes=None):
+        """gt_boxes [..., 7+], points [..., 3], gt_classes [...] (1-indexed)."""
+        g = gt_boxes.at[..., 3:6].set(jnp.clip(gt_boxes[..., 3:6], 1e-5))
+        xg, yg, zg = g[..., 0], g[..., 1], g[..., 2]
+        dxg, dyg, dzg, rg = g[..., 3], g[..., 4], g[..., 5], g[..., 6]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            anc = self.mean_size[jnp.clip(gt_classes - 1, 0,
+                                          self.mean_size.shape[0] - 1)]
+            dxa, dya, dza = anc[..., 0], anc[..., 1], anc[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xt, yt, zt = (xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza
+            dxt = jnp.log(dxg / dxa)
+            dyt = jnp.log(dyg / dya)
+            dzt = jnp.log(dzg / dza)
+        else:
+            xt, yt, zt = xg - xa, yg - ya, zg - za
+            dxt, dyt, dzt = jnp.log(dxg), jnp.log(dyg), jnp.log(dzg)
+        rg_cls, rg_res = self.encode_angle(rg)
+        out = jnp.concatenate(
+            [jnp.stack([xt, yt, zt, dxt, dyt, dzt], axis=-1), rg_cls, rg_res],
+            axis=-1,
+        )
+        if gt_boxes.shape[-1] > 7:
+            out = jnp.concatenate([out, gt_boxes[..., 7:]], axis=-1)
+        return out
+
+    def decode(self, encodings, points, pred_classes=None):
+        n = self.angle_bin_num
+        xt, yt, zt = encodings[..., 0], encodings[..., 1], encodings[..., 2]
+        dxt, dyt, dzt = encodings[..., 3], encodings[..., 4], encodings[..., 5]
+        xa, ya, za = points[..., 0], points[..., 1], points[..., 2]
+        if self.use_mean_size:
+            anc = self.mean_size[jnp.clip(pred_classes - 1, 0,
+                                          self.mean_size.shape[0] - 1)]
+            dxa, dya, dza = anc[..., 0], anc[..., 1], anc[..., 2]
+            diag = jnp.sqrt(dxa ** 2 + dya ** 2)
+            xg, yg, zg = xt * diag + xa, yt * diag + ya, zt * dza + za
+            dxg, dyg, dzg = (jnp.exp(dxt) * dxa, jnp.exp(dyt) * dya,
+                             jnp.exp(dzt) * dza)
+        else:
+            xg, yg, zg = xt + xa, yt + ya, zt + za
+            dxg, dyg, dzg = jnp.exp(dxt), jnp.exp(dyt), jnp.exp(dzt)
+        rg = self.decode_angle(encodings[..., 6:6 + n],
+                               encodings[..., 6 + n:6 + 2 * n])
+        out = jnp.stack([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+        if self.pred_velo:
+            out = jnp.concatenate(
+                [out, encodings[..., 6 + 2 * n:8 + 2 * n]], axis=-1
+            )
         return out

@@ -57,15 +57,54 @@ def farthest_point_sample(points: jnp.ndarray, mask: jnp.ndarray,
     return jax.vmap(one)(points, mask)
 
 
-@partial(jax.jit, static_argnames=('radius', 'nsample'))
+@partial(jax.jit, static_argnames=('num_samples',))
+def farthest_point_sample_matrix(dist_matrix: jnp.ndarray, mask: jnp.ndarray,
+                                 num_samples: int) -> jnp.ndarray:
+    """FPS over a precomputed [B, N, N] distance matrix (reference
+    ``furthest_point_sampling_matrix_kernel``) — used by F-FPS where the metric
+    mixes geometry and feature distance."""
+
+    def one(dm, m):
+        dist = jnp.where(m, _BIG, -_BIG)
+
+        def body(i, state):
+            dist, idxs, last = state
+            dist = jnp.minimum(dist, jnp.where(m, dm[last], -_BIG))
+            nxt = jnp.argmax(dist)
+            return dist, idxs.at[i].set(nxt), nxt
+
+        first = jnp.argmax(m)
+        idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(first)
+        _, idxs, _ = jax.lax.fori_loop(
+            1, num_samples, body, (dist, idxs0, first)
+        )
+        return idxs
+
+    return jax.vmap(one)(dist_matrix, mask)
+
+
+def calc_dist_matrix_for_sampling(xyz, features=None, gamma: float = 1.0):
+    """Combined geometry + feature distance matrix for F-FPS (reference
+    ``calc_dist_matrix_for_sampling``, pointnet2_utils.py)."""
+    dist = square_distance(xyz, xyz)
+    if features is not None:
+        dist = dist + square_distance(features, features) * gamma
+    return dist
+
+
+@partial(jax.jit, static_argnames=('radius', 'nsample', 'min_radius'))
 def ball_query(radius: float, nsample: int, xyz: jnp.ndarray,
                xyz_mask: jnp.ndarray, centers: jnp.ndarray,
-               center_mask: jnp.ndarray):
+               center_mask: jnp.ndarray, min_radius: float = 0.0):
     """Reference ``ball_query_kernel``: for each center, up to ``nsample`` point
     indices within ``radius`` (first-found order, wrap-repeated to fill like the
-    CUDA kernel). Returns (idx [B, M, nsample], cnt [B, M])."""
+    CUDA kernel). ``min_radius > 0`` gives the dilated variant
+    (``ball_query_dilated_kernel``): min_radius < d <= radius.
+    Returns (idx [B, M, nsample], cnt [B, M])."""
     d2 = square_distance(centers, xyz)  # [B, M, N]
     in_ball = (d2 <= radius * radius) & xyz_mask[:, None, :]
+    if min_radius > 0.0:
+        in_ball = in_ball & (d2 > min_radius * min_radius)
     # rank of each in-ball point among its center's hits (ascending index order)
     rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1) - 1
     cnt = jnp.sum(in_ball, axis=-1)
@@ -128,10 +167,13 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
 
 
 def query_and_group(radius: float, nsample: int, xyz, xyz_mask, centers,
-                    center_mask, features=None, use_xyz=True):
+                    center_mask, features=None, use_xyz=True,
+                    min_radius: float = 0.0):
     """The reference ``QueryAndGroup`` module core (pointnet2_utils):
-    ball query + grouping + center-relative coordinates."""
-    idx, cnt = ball_query(radius, nsample, xyz, xyz_mask, centers, center_mask)
+    ball query + grouping + center-relative coordinates. ``min_radius`` gives
+    the dilated variant (``QueryAndGroupDilated``)."""
+    idx, cnt = ball_query(radius, nsample, xyz, xyz_mask, centers, center_mask,
+                          min_radius=min_radius)
     grouped_xyz = group_points(xyz, idx) - centers[:, :, None, :]
     if features is not None:
         grouped = group_points(features, idx)
