@@ -334,3 +334,67 @@ class AnchorHeadMulti(nn.Module):
                 'head_cls_names': names,
             })
         return outs
+
+
+def assign_atss_targets(anchors_flat, gt_boxes, gt_mask, coder, topk=9,
+                        match_height=False):
+    """Adaptive training sample selection for one sample (reference
+    ``target_assigner/atss_target_assigner.py:78-141``): per-gt candidate set =
+    topk closest anchors; IoU threshold = mean+std of candidate IoUs; candidates
+    must also sit inside the gt in BEV (with the reference's swapped l/w check
+    preserved); anchors claimed by several gts take the highest IoU, and each
+    gt force-claims its best-IoU anchor.
+
+    anchors_flat [A, 7]; gt_boxes [M, 8] (class in col 7); gt_mask [M].
+    Returns (cls_labels [A], reg_targets [A, code], reg_weights [A]).
+    """
+    from ..ops.geometry import boxes_iou3d, boxes_iou_bev
+
+    A, M = anchors_flat.shape[0], gt_boxes.shape[0]
+    iou_fn = boxes_iou3d if match_height else boxes_iou_bev
+    ious = iou_fn(anchors_flat, gt_boxes[:, :7])            # [A, M]
+    ious = jnp.where(gt_mask[None, :], ious, 0.0)
+    dist = jnp.linalg.norm(
+        anchors_flat[:, None, :3] - gt_boxes[None, :, :3], axis=-1
+    )
+    dist = jnp.where(gt_mask[None, :], dist, jnp.inf)
+
+    _, topk_idx = jax.lax.top_k(-dist.T, topk)              # [M, K]
+    cand_ious = jnp.take_along_axis(ious.T, topk_idx, axis=1)  # [M, K]
+    thresh = cand_ious.mean(1) + cand_ious.std(1, ddof=1) + 1e-6
+    is_pos = cand_ious >= thresh[:, None]
+
+    # BEV containment of the candidate anchors in their gt (reference keeps
+    # the swapped (w, l) half-extent comparison — preserved verbatim)
+    cand_xyz = anchors_flat[topk_idx][..., :3]               # [M, K, 3]
+    d = cand_xyz[..., :2] - gt_boxes[:, None, :2]
+    c, s = jnp.cos(-gt_boxes[:, 6]), jnp.sin(-gt_boxes[:, 6])
+    xl = d[..., 0] * c[:, None] - d[..., 1] * s[:, None]
+    yl = d[..., 0] * s[:, None] + d[..., 1] * c[:, None]
+    half_w, half_l = gt_boxes[:, 4] / 2, gt_boxes[:, 3] / 2
+    in_gt = (jnp.abs(xl) <= half_w[:, None]) & (jnp.abs(yl) <= half_l[:, None])
+    is_pos = is_pos & in_gt & gt_mask[:, None]
+
+    # scatter the per-gt candidate decisions back to a dense [A, M] mask
+    pos_pair = jnp.zeros((A, M), bool).at[
+        topk_idx, jnp.arange(M)[:, None]
+    ].max(is_pos)
+    ious_inf = jnp.where(pos_pair, ious, -jnp.inf)
+    a2g_val = jnp.max(ious_inf, axis=1)
+    a2g_idx = jnp.argmax(ious_inf, axis=1)
+
+    # each (valid) gt force-claims its highest-IoU anchor
+    best_anchor = jnp.where(gt_mask, jnp.argmax(ious, axis=0), A)
+    a2g_idx = a2g_idx.at[best_anchor].set(jnp.arange(M), mode='drop')
+    a2g_val = a2g_val.at[best_anchor].set(
+        jnp.max(ious, axis=0), mode='drop'
+    )
+
+    matched = gt_boxes[a2g_idx]
+    cls_labels = jnp.where(
+        jnp.isfinite(a2g_val), matched[:, 7].astype(jnp.int32), 0
+    )
+    pos = cls_labels > 0
+    reg_targets = coder.encode(matched[:, :7], anchors_flat)
+    reg_targets = jnp.where(pos[:, None], reg_targets, 0.0)
+    return cls_labels, reg_targets, pos.astype(jnp.float32)
