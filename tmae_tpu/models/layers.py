@@ -217,3 +217,39 @@ def freeze_param_labels(params, frozen_prefixes):
         for k in flat
     }
     return tu.unflatten_dict(labels)
+
+
+class DeformConvBNReLU(nn.Module):
+    """Modulated deformable conv block (DCNv2): a plain conv predicts per-tap
+    offsets and modulation (zero-initialized, sigmoid(0)=0.5 like the CUDA
+    module), then ops/dcn.deform_conv2d samples and contracts. Used by the
+    DLA-style image backbone of the GraphRCNN fusion variant
+    (reference pcdet/ops/dcn)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from ..ops.dcn import deform_conv2d
+
+        K = self.kernel * self.kernel
+        pred = nn.Conv(
+            3 * K, (self.kernel, self.kernel), strides=self.stride,
+            padding='SAME', kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, name='conv_offset_mask',
+        )(x)
+        offset = pred[..., :2 * K]
+        mask = jax.nn.sigmoid(pred[..., 2 * K:])
+        weight = self.param(
+            'kernel', nn.initializers.he_normal(),
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        pad = (self.kernel - 1) // 2
+        y = deform_conv2d(x, offset, mask, weight, stride=self.stride,
+                          padding=pad)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        )(y)
+        return nn.relu(y)

@@ -121,3 +121,31 @@ def roiaware_pool3d(points: jnp.ndarray, point_mask: jnp.ndarray,
     out = jax.vmap(one)(xyz, feats, boxes)
     out = jnp.where((box_mask & ~empty)[..., None, None], out, 0.0)
     return out.reshape(B, M, G, G, G, C)
+
+
+@partial(jax.jit, static_argnames=('num_dvs_points', 'num_fps_points'))
+def roilocal_dfvs_pool3d(points: jnp.ndarray, point_mask: jnp.ndarray,
+                         boxes: jnp.ndarray, box_mask: jnp.ndarray,
+                         num_dvs_points: int = 256, num_fps_points: int = 64):
+    """TPU equivalent of the reference ``patch_ops`` RoI-local DFVS pooling
+    (``patch_ops_utils.RoILocalDFVSPool3dV2``): gather candidate points per
+    (already enlarged) box, then farthest-point-sample a fixed subset in the
+    box's canonical frame. The CUDA patch/hash machinery (patch query, dynamic
+    voxel sampling) exists to avoid O(N·M) work on a GPU; on TPU the dense
+    masked gather IS the fast path, so only the sampling semantics survive.
+
+    Returns (pooled [B, M, num_fps_points, 3+C] canonical xyz + raw features,
+    empty [B, M]).
+    """
+    from .pointnet2 import farthest_point_sample, gather_points
+
+    pooled, empty = roipoint_pool3d(points, point_mask, boxes, box_mask,
+                                    num_dvs_points)
+    B, M, K, C = pooled.shape
+    flat = pooled.reshape(B * M, K, C)
+    # wrap-repeated duplicates have zero distance so FPS only revisits them
+    # once the distinct points are exhausted — no explicit count needed
+    ones = jnp.ones((B * M, K), bool)
+    idx = farthest_point_sample(flat[..., :3], ones, num_fps_points)
+    out = gather_points(flat, idx).reshape(B, M, num_fps_points, C)
+    return jnp.where((box_mask & ~empty)[..., None, None], out, 0.0), empty
