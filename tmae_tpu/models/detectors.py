@@ -170,6 +170,7 @@ class GDMAE(TMAE):
 from .pointpillar import PointPillar  # noqa: E402
 from .second_net import SECONDNet  # noqa: E402
 from .ssd3d import SSD3D  # noqa: E402
+from .graph_rcnn import GraphRCNN  # noqa: E402
 
 _DETECTORS = {
     'CenterPoint': CenterPoint,
@@ -178,6 +179,7 @@ _DETECTORS = {
     'PointPillar': PointPillar,
     'SECONDNet': SECONDNet,
     'SSD3D': SSD3D,
+    'GraphRCNN': GraphRCNN,
 }
 
 

@@ -23,12 +23,64 @@ log = logging.getLogger(__name__)
 
 def make_eval_step(model, cfg):
     """Device forward + decode; the rotated NMS runs on host (C++ host-ops) over
-    the K=500 decoded candidates per sample."""
+    the decoded candidates per sample. Dispatches per detector family
+    (detector3d_template.post_processing role)."""
+    name = cfg['MODEL']['NAME']
 
-    @jax.jit
-    def eval_step(variables, batch):
-        out = model.apply(variables, batch, train=False)
-        return centerpoint_predict(cfg, out, nms_on_device=False)
+    if name == 'SSD3D':
+        from ..models.ssd3d import ssd3d_predict
+
+        @jax.jit
+        def eval_step(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            p = ssd3d_predict(cfg, out)
+            return (p['pred_boxes'], p['pred_scores'], p['pred_labels'],
+                    p['pred_valid'])
+
+    elif name == 'GraphRCNN':
+        from ..models.graph_rcnn import graph_rcnn_predict
+
+        @jax.jit
+        def eval_step(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            p = graph_rcnn_predict(cfg, out)
+            return (p['pred_boxes'], p['pred_scores'], p['pred_labels'],
+                    p['pred_valid'])
+
+    elif name in ('SECONDNet', 'PointPillar'):
+        from ..models.anchor_head import AnchorHeadSingle, anchor_head_predict
+        from ..models.detectors import make_voxel_spec
+
+        spec = make_voxel_spec(cfg['DATA_CONFIG'], cfg['RUNTIME'])
+        nx, ny, _ = spec.grid_size
+        head = AnchorHeadSingle(
+            cfg['MODEL']['DENSE_HEAD'], len(cfg['CLASS_NAMES']),
+            tuple(cfg['CLASS_NAMES']), (nx, ny), spec.pc_range,
+        )
+        K = int(cfg['MODEL'].get('POST_PROCESSING', {}).get('MAX_OBJ', 500))
+
+        @jax.jit
+        def eval_step(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            bound = head.bind(
+                {'params': variables['params']['dense_head']}
+            )
+            cls_preds, boxes = anchor_head_predict(
+                bound, out['anchor_outputs']
+            )
+            probs = jax.nn.sigmoid(cls_preds)
+            scores = jnp.max(probs, axis=-1)
+            labels = jnp.argmax(probs, axis=-1) + 1
+            top, idx = jax.lax.top_k(scores, min(K, scores.shape[1]))
+            b = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+            lab = jnp.take_along_axis(labels, idx, axis=1)
+            return b, top, lab, jnp.ones_like(top, bool)
+
+    else:
+        @jax.jit
+        def eval_step(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            return centerpoint_predict(cfg, out, nms_on_device=False)
 
     return eval_step
 
@@ -46,7 +98,9 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
     )
     recall = {t: 0 for t in recall_threshs}
     total_gt = 0
-    model_inputs = ('points', 'point_mask', 'points_prev', 'point_mask_prev')
+    model_inputs = ('points', 'point_mask', 'points_prev', 'point_mask_prev',
+                    'voxels', 'voxel_num_points', 'voxel_coords_zyx',
+                    'voxel_mask')
     for batch in loader:
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in model_inputs}

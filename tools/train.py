@@ -99,7 +99,7 @@ def main():
                 steps_per_epoch)
 
     model = build_detector(cfg)
-    is_mae = cfg.MODEL.NAME == 'TMAE'
+    is_mae = cfg.MODEL.NAME in ('TMAE', 'GDMAE')
     init_batch = next(iter(loader))
     init_inputs = {
         k: jnp.asarray(v) for k, v in init_batch.items() if k != 'frame_id'
@@ -133,6 +133,44 @@ def main():
     if is_mae:
         loss_fn = lambda out, batch: tmae_loss(cfg, out, batch)
         rng_names = ('mae_mask',)
+    elif cfg.MODEL.NAME == 'SSD3D':
+        from tmae_tpu.models.ssd3d import ssd3d_loss
+        loss_fn = lambda out, batch: ssd3d_loss(cfg, out, batch)
+        rng_names = ()
+    elif cfg.MODEL.NAME == 'GraphRCNN':
+        from tmae_tpu.models.anchor_head import AnchorHeadSingle
+        from tmae_tpu.models.detectors import make_voxel_spec
+        from tmae_tpu.models.graph_rcnn import graph_rcnn_loss
+        spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
+        dense_head = AnchorHeadSingle(
+            cfg.MODEL.DENSE_HEAD, len(cfg.CLASS_NAMES),
+            tuple(cfg.CLASS_NAMES), tuple(spec.grid_size[:2]), spec.pc_range,
+        ).bind({})  # anchors/coder are config-derived; no params needed
+        loss_fn = lambda out, batch: graph_rcnn_loss(cfg, out, batch,
+                                                     dense_head)
+        rng_names = ('proposal', 'dropout')
+    elif cfg.MODEL.NAME in ('SECONDNet', 'PointPillar'):
+        from tmae_tpu.models.anchor_head import (
+            AnchorHeadSingle, anchor_head_loss,
+        )
+        from tmae_tpu.models.detectors import make_voxel_spec
+        spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
+        dense_head = AnchorHeadSingle(
+            cfg.MODEL.DENSE_HEAD, len(cfg.CLASS_NAMES),
+            tuple(cfg.CLASS_NAMES), tuple(spec.grid_size[:2]), spec.pc_range,
+        ).bind({})
+
+        def anchor_loss(out, batch):
+            targets = dense_head.assign_targets(
+                batch['gt_boxes'], batch['gt_mask']
+            )
+            return anchor_head_loss(
+                dense_head, out['anchor_outputs'], targets,
+                cfg.MODEL.DENSE_HEAD.LOSS_CONFIG,
+            )
+
+        loss_fn = anchor_loss
+        rng_names = ()
     else:
         loss_fn = lambda out, batch: centerpoint_loss(cfg, out, batch)
         rng_names = ()
