@@ -1,3 +1,6 @@
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -176,3 +179,53 @@ def test_loader_sharding():
     ids1 = [b['frame_id'][0] for b in loader1]
     assert len(ids0) == len(ids1) == 2
     assert set(ids0).isdisjoint(ids1)
+
+
+def test_gt_sampler_shared_memory(tmp_path):
+    import pickle as pkl
+
+    if not Path('/dev/shm').is_dir():
+        return  # platform without shm
+    rng = np.random.RandomState(0)
+    db_dir = tmp_path / 'gt_database'
+    db_dir.mkdir()
+    infos = {'Car': []}
+    for i in range(3):
+        pts = rng.randn(10 + i, 4).astype(np.float32)
+        rel = f'gt_database/car_{i}.bin'
+        pts.tofile(tmp_path / rel)
+        infos['Car'].append({
+            'name': 'Car', 'path': rel, 'num_points_in_gt': len(pts),
+            'box3d_lidar': np.array([i * 5.0, 0, 0, 4, 2, 1.6, 0],
+                                    np.float32),
+        })
+    with open(tmp_path / 'dbinfos.pkl', 'wb') as f:
+        pkl.dump(infos, f)
+    key = f'tmae_test_shm_{os.getpid()}'
+    cfg = {
+        'DB_INFO_PATH': ['dbinfos.pkl'],
+        'SAMPLE_GROUPS': ['Car:2'],
+        'NUM_POINT_FEATURES': 4,
+        'USE_SHARED_MEMORY': True,
+        'SHARED_MEMORY_KEY': key,
+    }
+    try:
+        sampler = DataBaseSampler(tmp_path, cfg, ['Car'],
+                                  rng=np.random.RandomState(1))
+        assert sampler._shm_data is not None
+        assert len(sampler._shm_offsets) == 3
+        # shm slice must equal the file contents
+        info = infos['Car'][1]
+        via_shm = sampler._load_obj_points(info)
+        via_file = np.fromfile(tmp_path / info['path'],
+                               np.float32).reshape(-1, 4)
+        np.testing.assert_array_equal(via_shm, via_file)
+        # a second sampler attaches to the existing cache without rebuilding
+        sampler2 = DataBaseSampler(tmp_path, cfg, ['Car'],
+                                   rng=np.random.RandomState(2))
+        assert sampler2._shm_data is not None
+    finally:
+        for suffix in ('.npy', '.offsets.pkl'):
+            p = Path(f'/dev/shm/{key}{suffix}')
+            if p.exists():
+                p.unlink()

@@ -187,6 +187,61 @@ class DataBaseSampler:
         # FADE_EPOCH: stop pasting after this epoch (database_sampler.py:224-225)
         self.fade_epoch = sampler_cfg.get('FADE_EPOCH', None)
         self.cur_epoch = 0
+        # /dev/shm gt-database cache (database_sampler.py:60-95): the reference
+        # stacks every object's points into one SharedArray; here the stacked
+        # array is an .npy in /dev/shm opened with mmap — the kernel page cache
+        # makes it a single physical copy shared by all loader workers.
+        self._shm_data = None
+        self._shm_offsets = {}
+        if sampler_cfg.get('USE_SHARED_MEMORY', False):
+            self._setup_shared_memory(
+                sampler_cfg.get('SHARED_MEMORY_KEY', 'tmae_gt_database')
+            )
+
+    def _setup_shared_memory(self, key):
+        import os
+        import tempfile
+
+        shm_dir = Path('/dev/shm')
+        if not shm_dir.is_dir():
+            return
+        data_path = shm_dir / f'{key}.npy'
+        off_path = shm_dir / f'{key}.offsets.pkl'
+        if not (data_path.exists() and off_path.exists()):
+            chunks, offsets, cursor = [], {}, 0
+            for c in self.class_names:
+                for info in self.db_infos.get(c, []):
+                    if 'path' not in info:
+                        continue
+                    pts = self._read_obj_file(info)
+                    if pts is None:
+                        continue
+                    offsets[info['path']] = (cursor, cursor + len(pts))
+                    cursor += len(pts)
+                    chunks.append(pts)
+            if not chunks:
+                return
+            stacked = np.concatenate(chunks, axis=0)
+            # atomic publish: first process wins, racers overwrite identically
+            fd, tmp = tempfile.mkstemp(dir=shm_dir, suffix='.npy')
+            os.close(fd)
+            np.save(tmp, stacked)  # suffix is .npy so no extension is added
+            os.replace(tmp, data_path)
+            fd, tmp = tempfile.mkstemp(dir=shm_dir, suffix='.pkl')
+            with os.fdopen(fd, 'wb') as f:
+                pickle.dump(offsets, f)
+            os.replace(tmp, off_path)
+        self._shm_data = np.load(data_path, mmap_mode='r')
+        with open(off_path, 'rb') as f:
+            self._shm_offsets = pickle.load(f)
+
+    def _read_obj_file(self, info):
+        path = self.root_path / info['path'] if self.root_path else None
+        if path is None or not path.exists():
+            return None
+        return np.fromfile(path, dtype=np.float32).reshape(
+            -1, self.num_point_features
+        )
 
     def _sample_class(self, name, num):
         infos = self.db_infos.get(name, [])
@@ -205,6 +260,10 @@ class DataBaseSampler:
     def _load_obj_points(self, info):
         if 'points' in info:
             pts = np.asarray(info['points'], np.float32)
+        elif (self._shm_data is not None
+              and info.get('path') in self._shm_offsets):
+            s, e = self._shm_offsets[info['path']]
+            pts = np.array(self._shm_data[s:e], np.float32)
         else:
             path = self.root_path / info['path']
             pts = np.fromfile(path, dtype=np.float32).reshape(
