@@ -174,3 +174,62 @@ def test_waymo_dataset_eval_dispatch(tmp_path):
     # pedestrians (5 pts) are L2-only; cyclists absent
     assert d['Pedestrian/L1/AP'] == 0.0
     assert d['Pedestrian/L2/AP'] == 100.0
+
+
+def test_waymo_shared_memory_cache(tmp_path):
+    from pathlib import Path
+    if not Path('/dev/shm').is_dir():
+        return
+    root = make_waymo_fixture(tmp_path)
+    cfg = _cfg(root)
+    cfg['USE_SHARED_MEMORY'] = True
+    cfg['SHARED_MEMORY_FILE_LIMIT'] = 3
+    runtime = {'MAX_POINTS': 512, 'MAX_VOXELS': [256], 'MAX_GT': 8}
+    ds, _ = build_dataloader(
+        cfg, CLASSES, batch_size=1, training=True, runtime_cfg=runtime,
+        root_path=str(root), seed=0,
+    )
+    try:
+        assert ds.use_shared_memory
+        cached = [i for i in ds.infos[:3]]
+        for info in cached:
+            pc = info['point_cloud']
+            assert ds._shm_key(pc['lidar_sequence'],
+                               pc['sample_idx']).exists()
+        pc = cached[0]['point_cloud']
+        via_shm = ds.get_lidar(pc['lidar_sequence'], pc['sample_idx'])
+        via_disk = ds._get_lidar_from_disk(pc['lidar_sequence'],
+                                           pc['sample_idx'])
+        np.testing.assert_allclose(via_shm, via_disk)
+    finally:
+        ds.clean_shared_memory()
+        pc = cached[0]['point_cloud']
+        assert not ds._shm_key(pc['lidar_sequence'],
+                               pc['sample_idx']).exists()
+
+
+def test_waymo_mvjar_split_redirect(tmp_path):
+    root = make_waymo_fixture(tmp_path)
+    # MVJAR subset listing only sequence 0
+    sub = root / 'MVJAR_Data_Efficient_Benchmark' / 'sequence_names'
+    sub.mkdir(parents=True)
+    (sub / 'waymo_infos_train_r_0.1_2_sequence_names.txt').write_text(
+        'segment-000.tfrecord\n'
+    )
+    cfg = _cfg(root)
+    cfg['DATA_EFFICIENT_BENCHMARK'] = {'percentile': 0.1, 'idx': 2}
+    runtime = {'MAX_POINTS': 512, 'MAX_VOXELS': [256], 'MAX_GT': 8}
+    ds, _ = build_dataloader(
+        cfg, CLASSES, batch_size=1, training=True, runtime_cfg=runtime,
+        root_path=str(root), seed=0,
+    )
+    seqs = {i['point_cloud']['lidar_sequence'] for i in ds.infos}
+    assert seqs == {'segment-000'}
+    # val split is never redirected
+    ds_val, _ = build_dataloader(
+        cfg, CLASSES, batch_size=1, training=False, runtime_cfg=runtime,
+        root_path=str(root), seed=0,
+    )
+    assert {i['point_cloud']['lidar_sequence'] for i in ds_val.infos} == {
+        'segment-000', 'segment-001'
+    }

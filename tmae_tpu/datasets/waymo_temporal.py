@@ -66,6 +66,49 @@ class WaymoTemporalDataset(DatasetTemplate):
         self.infos = []
         self._load_infos()
         self.intervals = self._build_intervals()
+        # /dev/shm per-frame point cache (waymo_temporal_dataset.py:108-115,
+        # 236-288): processed points stored as .npy in /dev/shm; the kernel
+        # page cache shares one physical copy across loader workers.
+        self.use_shared_memory = (
+            bool(dataset_cfg.get('USE_SHARED_MEMORY', False)) and self.training
+        )
+        self.shared_memory_file_limit = int(
+            dataset_cfg.get('SHARED_MEMORY_FILE_LIMIT', 0x7FFFFFFF)
+        )
+        if self.use_shared_memory:
+            self.load_data_to_shared_memory()
+
+    def _shm_key(self, sequence_name, sample_idx):
+        return Path('/dev/shm') / f'{sequence_name}___{sample_idx}.npy'
+
+    def load_data_to_shared_memory(self):
+        """Pre-load processed frames into /dev/shm
+        (waymo_temporal_dataset.py:236-261)."""
+        if not Path('/dev/shm').is_dir():
+            self.use_shared_memory = False
+            return
+        infos = self.infos[:self.shared_memory_file_limit]
+        for info in infos:
+            pc = info['point_cloud']
+            key = self._shm_key(pc['lidar_sequence'], pc['sample_idx'])
+            if key.exists():
+                continue
+            points = self._get_lidar_from_disk(
+                pc['lidar_sequence'], pc['sample_idx']
+            )
+            tmp = key.with_suffix('.tmp.npy')
+            np.save(tmp, points)
+            tmp.replace(key)
+
+    def clean_shared_memory(self):
+        """Remove this dataset's cached frames
+        (waymo_temporal_dataset.py:263-288)."""
+        infos = self.infos[:self.shared_memory_file_limit]
+        for info in infos:
+            pc = info['point_cloud']
+            key = self._shm_key(pc['lidar_sequence'], pc['sample_idx'])
+            if key.exists():
+                key.unlink()
 
     def _load_infos(self):
         if self.root is None:
@@ -77,7 +120,7 @@ class WaymoTemporalDataset(DatasetTemplate):
             with open(merged, 'rb') as f:
                 self.infos = pickle.load(f)
             return
-        split_file = self.root / 'ImageSets' / f'{self.split}.txt'
+        split_file = self._split_file()
         if not (split_file.exists() and self.data_path):
             return
         seqs = [
@@ -91,6 +134,20 @@ class WaymoTemporalDataset(DatasetTemplate):
                     self.infos.extend(pickle.load(f))
         if self.sampled_interval > 1:
             self.infos = self.infos[::self.sampled_interval]
+
+    def _split_file(self):
+        """Sequence-list file; the MVJAR data-efficient benchmark redirects
+        train splits to its percentile subsets
+        (waymo_temporal_dataset.py:121-147)."""
+        deb = self.dataset_cfg.get('DATA_EFFICIENT_BENCHMARK', None)
+        if (self.split in ('val', 'test') or deb is None
+                or deb.get('percentile', 1) == 1):
+            return self.root / 'ImageSets' / f'{self.split}.txt'
+        pct, idx = float(deb['percentile']), int(deb['idx'])
+        fmt = '%.2f' if pct == 0.05 else '%.1f'
+        name = f'waymo_infos_train_r_{fmt % pct}_{idx}_sequence_names'
+        return (self.root / 'MVJAR_Data_Efficient_Benchmark'
+                / 'sequence_names' / f'{name}.txt')
 
     def _build_intervals(self):
         """Per-sequence intervals of SCAN_WINDOW frames
@@ -109,6 +166,13 @@ class WaymoTemporalDataset(DatasetTemplate):
         return intervals
 
     def get_lidar(self, sequence_name, sample_idx):
+        if self.use_shared_memory:
+            key = self._shm_key(sequence_name, sample_idx)
+            if key.exists():
+                return np.array(np.load(key, mmap_mode='r'), np.float32)
+        return self._get_lidar_from_disk(sequence_name, sample_idx)
+
+    def _get_lidar_from_disk(self, sequence_name, sample_idx):
         lidar_file = self.data_path / sequence_name / ('%04d.npy' % sample_idx)
         feats = np.load(lidar_file)  # (N, 6): x, y, z, intensity, elong, NLZ
         points, nlz = feats[:, 0:5], feats[:, 5]

@@ -37,6 +37,10 @@ def parse_config():
     parser.add_argument('--max_waiting_mins', type=int, default=30)
     parser.add_argument('--fixed_gap_eval', type=int, default=1)
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs='*')
+    parser.add_argument('--fuse_conv_bn', action='store_true',
+                        help='fold BN into convs before eval (API parity with '
+                             'the reference; XLA already fuses the affine at '
+                             'compile time)')
     args = parser.parse_args()
     cfg = cfg_from_yaml_file(args.cfg_file)
     if args.set_cfgs is not None:
@@ -44,7 +48,7 @@ def parse_config():
     return args, cfg
 
 
-def load_variables(cfg, model, loader, ckpt_path):
+def load_variables(cfg, model, loader, ckpt_path, fuse=False):
     init_batch = next(iter(loader))
     init_inputs = {
         k: jnp.asarray(v) for k, v in init_batch.items() if k != 'frame_id'
@@ -53,7 +57,11 @@ def load_variables(cfg, model, loader, ckpt_path):
     tx, _ = build_optimizer(dict(cfg.OPTIMIZATION), 1)
     state = create_train_state(variables, tx)
     state = restore_checkpoint(ckpt_path, state)
-    return {'params': state.params, 'batch_stats': state.batch_stats}
+    params, stats = state.params, state.batch_stats
+    if fuse:
+        from tmae_tpu.utils.fuse import fuse_conv_bn
+        params, stats = fuse_conv_bn(params, stats)
+    return {'params': params, 'batch_stats': stats}
 
 
 def main():
@@ -76,7 +84,8 @@ def main():
     model = build_detector(cfg)
 
     def run_one(ckpt_path, tag):
-        variables = load_variables(cfg, model, loader, ckpt_path)
+        variables = load_variables(cfg, model, loader, ckpt_path,
+                                   fuse=args.fuse_conv_bn)
         ap_str, ap_dict = eval_one_epoch(
             cfg, model, variables, loader, dataset, cfg.CLASS_NAMES,
             result_dir=eval_dir / tag, logger=logger,
