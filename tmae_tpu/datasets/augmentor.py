@@ -36,6 +36,17 @@ def _apply_flip(points, axis):
     return points
 
 
+def _compose_aug(data, mat4):
+    """Record the world transform as one composed 4x4 matrix. The reference
+    keeps a named replay list (``transformation_3d_list/params``); here the
+    linear transforms compose into ``aug_matrix`` (world ← original), whose
+    inverse lets PointSample project augmented points back to camera frames."""
+    prev = data.get('aug_matrix')
+    if prev is None:
+        prev = np.eye(4, dtype=np.float32)
+    data['aug_matrix'] = (mat4.astype(np.float32) @ prev)
+
+
 class WorldTransforms:
     """Samples parameters once and applies them to every array of the sample
     (points, points_prev, gt_boxes) — the reference's replayed
@@ -57,6 +68,12 @@ class WorldTransforms:
                 else:
                     gt[:, 0] = -gt[:, 0]
                     gt[:, 6] = -(gt[:, 6] + np.pi)
+            m = np.eye(4)
+            if ax == 'x':
+                m[1, 1] = -1
+            else:
+                m[0, 0] = -1
+            _compose_aug(data, m)
         return data
 
     @staticmethod
@@ -73,6 +90,10 @@ class WorldTransforms:
         if gt is not None and len(gt):
             gt[:, 0:3] = rotate_points_z(gt[:, 0:3].copy(), ang)
             gt[:, 6] += ang
+        m = np.eye(4)
+        c_, s_ = np.cos(ang), np.sin(ang)
+        m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c_, -s_, s_, c_
+        _compose_aug(data, m)
         return data
 
     @staticmethod
@@ -88,6 +109,9 @@ class WorldTransforms:
         gt = data.get('gt_boxes')
         if gt is not None and len(gt):
             gt[:, :6] *= s
+        m = np.eye(4)
+        m[0, 0] = m[1, 1] = m[2, 2] = s
+        _compose_aug(data, m)
         return data
 
     @staticmethod
@@ -105,6 +129,9 @@ class WorldTransforms:
         gt = data.get('gt_boxes')
         if gt is not None and len(gt):
             gt[:, :3] += t
+        m = np.eye(4)
+        m[:3, 3] = t
+        _compose_aug(data, m)
         return data
 
     @staticmethod

@@ -125,7 +125,8 @@ class GraphRCNNHead(nn.Module):
     num_class: int = 1
 
     @nn.compact
-    def __call__(self, points, point_mask, rois, roi_mask, train: bool):
+    def __call__(self, points, point_mask, rois, roi_mask, train: bool,
+                 image_inputs=None):
         dfvs = self.model_cfg['DFVS_CONFIG']
         pooled, empty = roilocal_dfvs_pool3d(
             points, point_mask,
@@ -135,6 +136,36 @@ class GraphRCNNHead(nn.Module):
             num_dvs_points=int(dfvs.get('NUM_DVS_POINTS', 256)),
             num_fps_points=int(dfvs.get('NUM_FPS_POINTS', 64)),
         )
+        if image_inputs is not None and self.model_cfg.get('IMG_CONFIG'):
+            # per-point image features sampled at the pooled points' world
+            # positions (graphrcnn_head.py:252-258 PointSample branch)
+            from .point_sample import point_sample
+
+            img_cfg = self.model_cfg['IMG_CONFIG']
+            feats2d = image_inputs['image_features']
+            for ci, w in enumerate(img_cfg.get('MLPS', [])):
+                feats2d = nn.relu(nn.Conv(
+                    int(w), (1, 1), use_bias=False, name=f'img_conv{ci}',
+                )(feats2d))
+            # reconstruct world xyz from the canonical pooled coordinates
+            c_, s_ = (jnp.cos(rois[..., 6])[..., None],
+                      jnp.sin(rois[..., 6])[..., None])
+            cx = pooled[..., 0] * c_ - pooled[..., 1] * s_
+            cy = pooled[..., 0] * s_ + pooled[..., 1] * c_
+            world = jnp.stack([cx, cy, pooled[..., 2]], -1) + \
+                rois[..., None, :3]
+            B_, M_, K_, _ = world.shape
+            img_feats, _ = point_sample(
+                world.reshape(B_, M_ * K_, 3), feats2d,
+                image_inputs['trans_lidar_to_cam'],
+                image_inputs['trans_cam_to_img'],
+                tuple(image_inputs['image_shape']),
+                feat_stride=int(img_cfg.get('FEAT_STRIDE', 4)),
+                aug_inverse=image_inputs.get('aug_inverse'),
+            )
+            pooled = jnp.concatenate(
+                [pooled, img_feats.reshape(B_, M_, K_, -1)], axis=-1
+            )
         # append the RoI's local corner extents to every pooled point
         # (graphrcnn_head.py:232-238)
         half = rois[..., 3:6] / 2
@@ -214,9 +245,23 @@ class GraphRCNN(nn.Module):
             )
             rois, roi_mask = targets['rois'], targets['roi_mask']
 
+        image_inputs = None
+        if 'images' in batch and self.model_cfg.get('IMG_BACKBONE'):
+            from .dla import DLASeg
+
+            img_feats = DLASeg(self.model_cfg['IMG_BACKBONE'],
+                               name='img_backbone')(batch['images'], train)
+            image_inputs = {
+                'image_features': img_feats,
+                'trans_lidar_to_cam': batch['trans_lidar_to_cam'],
+                'trans_cam_to_img': batch['trans_cam_to_img'],
+                'image_shape': batch['images'].shape[1:3],
+                'aug_inverse': batch.get('aug_inverse'),
+            }
         rcnn_cls, rcnn_reg = GraphRCNNHead(
             roi_cfg, num_class=1, name='roi_head',
-        )(batch['points'], batch['point_mask'], rois, roi_mask, train)
+        )(batch['points'], batch['point_mask'], rois, roi_mask, train,
+          image_inputs=image_inputs)
         return {
             'anchor_outputs': anchor_out,
             'rois': rois,
