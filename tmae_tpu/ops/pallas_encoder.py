@@ -233,7 +233,32 @@ def _fwd(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv, wo, bo, tau,
 BWD_CHUNK = 512  # windows per backward recompute chunk (bounds logits memory)
 
 
+USE_PALLAS_BWD = True
+
+
 def _bwd(nhead, tau_min, cross, residuals, g):
+    """Backward dispatch: the fused Pallas backward kernel on TPU (one HBM
+    pass, VMEM-resident recompute), else the chunked XLA-recompute path."""
+    xw, kvw, qmask, kmask, pos = residuals[:5]
+    weights = residuals[5:]
+    T, C = xw.shape[1], xw.shape[2]
+    pallas_ok = (C % 128 == 0 and T % 8 == 0)
+    if USE_PALLAS_BWD and pallas_ok and (
+        _INTERPRET or jax.default_backend() == 'tpu'
+    ):
+        outs = _pallas_backward(
+            xw, kvw, qmask, kmask, pos, tuple(weights), g,
+            nhead=nhead, tau_min=tau_min, cross=cross,
+        )
+        dx, dkv = outs[0], outs[1]
+        gw = outs[2:19]
+        dpos = outs[19]
+        return (dx, dkv, jnp.zeros_like(qmask), jnp.zeros_like(kmask),
+                dpos) + tuple(gw)
+    return _bwd_recompute(nhead, tau_min, cross, residuals, g)
+
+
+def _bwd_recompute(nhead, tau_min, cross, residuals, g):
     """Chunked backward: re-derives the layer per window-chunk so the recomputed
     attention logits ([chunk, H, T, T]) never exceed a bounded footprint —
     without this, differentiating the whole layer materializes ~0.5 GB of logits
@@ -277,3 +302,292 @@ def _bwd(nhead, tau_min, cross, residuals, g):
 
 
 fused_encoder_layer.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas backward kernel
+# ---------------------------------------------------------------------------
+# One kernel recomputes the forward intermediates for a tile of windows in
+# VMEM (flash-attention-style) and produces dx / dkv plus all weight
+# gradients, accumulated across grid steps into block-0-mapped f32 outputs.
+# Replaces the chunked XLA-recompute backward (kept as _bwd_recompute for
+# CPU and as a fallback).
+
+BWD_TILE_WINDOWS = 8
+
+
+def _ln_fwd_stats(x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return xc * inv, inv
+
+
+def _ln_bwd(g, xhat, inv, scale):
+    """d/dx of LN given upstream g, normalized xhat, inv std, scale."""
+    gs = g * scale
+    m1 = jnp.mean(gs, axis=-1, keepdims=True)
+    m2 = jnp.mean(gs * xhat, axis=-1, keepdims=True)
+    return inv * (gs - m1 - xhat * m2)
+
+
+def _gelu_grad(x):
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327
+    return 0.5 * (1.0 + _erf(x * 0.7071067811865476)) + x * phi
+
+
+def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
+                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+                bo_ref, tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref,
+                f2w_ref, f2b_ref, ln2s_ref, ln2b_ref, g_ref,
+                dx_ref, dkv_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                dwv_ref, dbv_ref, dwo_ref, dbo_ref, dtau_ref, dln1s_ref,
+                dln1b_ref, df1w_ref, df1b_ref, df2w_ref, df2b_ref,
+                dln2s_ref, dln2b_ref, dpos_ref,
+                *, nhead, tau_min, cross):
+    W, T, C = x_ref.shape
+    H, D = nhead, C // nhead
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                  dwo_ref, dbo_ref, dtau_ref, dln1s_ref, dln1b_ref,
+                  df1w_ref, df1b_ref, df2w_ref, df2b_ref, dln2s_ref,
+                  dln2b_ref, dpos_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x = x_ref[:].astype(f32)
+    kv = kv_ref[:].astype(f32) if cross else x
+    pos = pos_ref[:].astype(f32)
+    qm3 = qmask_ref[:][..., None] > 0             # [W, T, 1]
+    km = kmask_ref[:]                              # [W, T]
+    g = g_ref[:].astype(f32)
+    tau = tau_ref[0, 0]
+    scale = 1.0 / jnp.maximum(tau, tau_min)
+    has_key = jnp.any(km > 0, axis=-1)[:, None, None]
+
+    # ---- forward recompute (all f32, VMEM-resident) ----
+    xp = (x + pos[None]).reshape(W * T, C)
+    q = jnp.dot(xp, wq_ref[:].astype(f32),
+                preferred_element_type=f32) + bq_ref[0]
+    kvp = (kv + pos[None]).reshape(W * T, C) if cross else xp
+    k = jnp.dot(kvp, wk_ref[:].astype(f32),
+                preferred_element_type=f32) + bk_ref[0]
+    v = jnp.dot(kv.reshape(W * T, C), wv_ref[:].astype(f32),
+                preferred_element_type=f32) + bv_ref[0]
+    q3 = q.reshape(W, T, C)
+    k3 = k.reshape(W, T, C)
+    v3 = v.reshape(W, T, C)
+
+    def head_attn(h):
+        sl = slice(h * D, (h + 1) * D)
+        qh, kh = q3[:, :, sl], k3[:, :, sl]
+        rq = jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24)
+        rk = jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24)
+        qn, kn = qh * rq, kh * rk
+        dots = jax.lax.dot_general(qn, kn, (((2,), (2,)), ((0,), (0,))),
+                                   preferred_element_type=f32)
+        logits = jnp.where(km[:, None, :] > 0, dots * scale, -30000.0)
+        p_z = jnp.where(has_key, jax.nn.softmax(logits, axis=-1), 0.0)
+        return qn, kn, rq, rk, p_z, dots
+
+    a_heads = []
+    cache = []
+    for h in range(H):
+        head = head_attn(h)
+        cache.append(head)
+        a_heads.append(jax.lax.dot_general(
+            head[4], v3[:, :, h * D:(h + 1) * D], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32))
+    a = jnp.concatenate(a_heads, axis=-1).reshape(W * T, C)
+    del a_heads
+    attn = jnp.dot(a, wo_ref[:].astype(f32),
+                   preferred_element_type=f32) + bo_ref[0]
+    z1 = x + jnp.where(qm3, attn.reshape(W, T, C), 0.0)
+    x1hat, inv1 = _ln_fwd_stats(z1)
+    h1 = jnp.where(qm3, x1hat * ln1s_ref[0] + ln1b_ref[0], 0.0)
+    ff1 = jnp.dot(h1.reshape(W * T, C), f1w_ref[:].astype(f32),
+                  preferred_element_type=f32) + f1b_ref[0]
+    gg = _gelu_exact(ff1)
+    ff2 = jnp.dot(gg, f2w_ref[:].astype(f32),
+                  preferred_element_type=f32) + f2b_ref[0]
+    z2 = h1 + ff2.reshape(W, T, C)
+    x2hat, inv2 = _ln_fwd_stats(z2)
+
+    # ---- backward ----
+    g_out = jnp.where(qm3, g, 0.0)
+    dln2s_ref[0] += jnp.sum((g_out * x2hat).reshape(W * T, C), axis=0)
+    dln2b_ref[0] += jnp.sum(g_out.reshape(W * T, C), axis=0)
+    dz2 = _ln_bwd(g_out, x2hat, inv2, ln2s_ref[0])
+
+    dff2 = dz2.reshape(W * T, C)
+    df2w_ref[:] += jnp.dot(gg.T, dff2, preferred_element_type=f32)
+    df2b_ref[0] += jnp.sum(dff2, axis=0)
+    dgg = jnp.dot(dff2, f2w_ref[:].astype(f32).T, preferred_element_type=f32)
+    dff1 = dgg * _gelu_grad(ff1)
+    h1f = h1.reshape(W * T, C)
+    df1w_ref[:] += jnp.dot(h1f.T, dff1, preferred_element_type=f32)
+    df1b_ref[0] += jnp.sum(dff1, axis=0)
+    dh1 = dz2 + jnp.dot(dff1, f1w_ref[:].astype(f32).T,
+                        preferred_element_type=f32).reshape(W, T, C)
+    dh1 = jnp.where(qm3, dh1, 0.0)
+
+    dln1s_ref[0] += jnp.sum((dh1 * x1hat).reshape(W * T, C), axis=0)
+    dln1b_ref[0] += jnp.sum(dh1.reshape(W * T, C), axis=0)
+    dz1 = _ln_bwd(dh1, x1hat, inv1, ln1s_ref[0])
+
+    dx_total = dz1                                  # d wrt residual x
+    dattn = jnp.where(qm3, dz1, 0.0).reshape(W * T, C)
+    dwo_ref[:] += jnp.dot(a.T, dattn, preferred_element_type=f32)
+    dbo_ref[0] += jnp.sum(dattn, axis=0)
+    da = jnp.dot(dattn, wo_ref[:].astype(f32).T,
+                 preferred_element_type=f32).reshape(W, T, C)
+
+    dq3 = []
+    dk3 = []
+    dv3 = []
+    dtau_acc = jnp.zeros((), f32)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        qn, kn, rq, rk, p_z, dots = cache[h]
+        dah = da[:, :, sl]
+        vh = v3[:, :, sl]
+        dp = jax.lax.dot_general(dah, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=f32)  # [W, T, S]
+        dvh = jax.lax.dot_general(p_z, dah, (((1,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=f32)  # [W, S, D]
+        ds = p_z * (dp - jnp.sum(dp * p_z, axis=-1, keepdims=True))
+        dtau_acc += jnp.sum(ds * dots)
+        dqn = scale * jax.lax.dot_general(
+            ds, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+        dkn = scale * jax.lax.dot_general(
+            ds, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+        dqh = rq * (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True))
+        dkh = rk * (dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True))
+        dq3.append(dqh)
+        dk3.append(dkh)
+        dv3.append(dvh)
+    dq = jnp.concatenate(dq3, axis=-1).reshape(W * T, C)
+    dk = jnp.concatenate(dk3, axis=-1).reshape(W * T, C)
+    dv = jnp.concatenate(dv3, axis=-1).reshape(W * T, C)
+    # d(scale)/d(tau) = -1/tau^2 when tau > tau_min else 0
+    dtau_ref[:] += jnp.where(tau > tau_min,
+                             -dtau_acc / (tau * tau), 0.0).reshape(1, 1)
+
+    dwv_ref[:] += jnp.dot(kv.reshape(W * T, C).T, dv,
+                          preferred_element_type=f32)
+    dbv_ref[0] += jnp.sum(dv, axis=0)
+    dkv_total = jnp.dot(dv, wv_ref[:].astype(f32).T,
+                        preferred_element_type=f32).reshape(W, T, C)
+
+    dwq_ref[:] += jnp.dot(xp.T, dq, preferred_element_type=f32)
+    dbq_ref[0] += jnp.sum(dq, axis=0)
+    dxp = jnp.dot(dq, wq_ref[:].astype(f32).T,
+                  preferred_element_type=f32).reshape(W, T, C)
+
+    dwk_ref[:] += jnp.dot(kvp.T, dk, preferred_element_type=f32)
+    dbk_ref[0] += jnp.sum(dk, axis=0)
+    dkvp = jnp.dot(dk, wk_ref[:].astype(f32).T,
+                   preferred_element_type=f32).reshape(W, T, C)
+
+    if cross:
+        dx_total = dx_total + dxp
+        dkv_total = dkv_total + dkvp
+        dpos_ref[:] += jnp.sum(dxp + dkvp, axis=0)
+        dkv_ref[:] = dkv_total.astype(dkv_ref.dtype)
+    else:
+        # kv aliases x: the v-path gradient folds into dx, dkv is zero
+        dx_total = dx_total + dxp + dkvp + dkv_total
+        dpos_ref[:] += jnp.sum(dxp + dkvp, axis=0)
+        dkv_ref[:] = jnp.zeros(dkv_ref.shape, dkv_ref.dtype)
+
+    dx_ref[:] = dx_total.astype(dx_ref.dtype)
+
+
+def _pallas_backward(xw, kvw, qmask, kmask, pos, params, g, *, nhead,
+                     tau_min, cross):
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    N, T, C = xw.shape
+    F = f1w.shape[1]
+    TW = BWD_TILE_WINDOWS
+    padded = ((N + TW - 1) // TW) * TW
+    if padded != N:
+        padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+        xw, kvw, qmask, kmask, g = (padz(xw), padz(kvw), padz(qmask),
+                                    padz(kmask), padz(g))
+    dt = xw.dtype
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    tile3 = pl.BlockSpec((TW, T, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile2 = pl.BlockSpec((TW, T), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        tile3, tile3, tile2, tile2, wspec((T, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)), wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+        tile3,  # g
+    ]
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((padded, T, C), jnp.float32),   # dx
+        jax.ShapeDtypeStruct((padded, T, C), jnp.float32),   # dkv
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),                    # dtau
+        jax.ShapeDtypeStruct((1, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, F), f32), jax.ShapeDtypeStruct((1, F), f32),
+        jax.ShapeDtypeStruct((F, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((T, C), f32),                    # dpos
+    )
+    out_specs = (
+        tile3, tile3,
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((T, C)),
+    )
+    kernel = functools.partial(_bwd_kernel, nhead=nhead, tau_min=tau_min,
+                               cross=cross)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pl.GridSpec(
+            grid=(padded // TW,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(xw, kvw, qmask.astype(jnp.float32), kmask.astype(jnp.float32), pos,
+      mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
+      tau.reshape(1, 1).astype(jnp.float32), row(ln1s), row(ln1b),
+      mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s), row(ln2b), g)
+    (dx, dkv, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dtau, dln1s, dln1b,
+     df1w, df1b, df2w, df2b, dln2s, dln2b, dpos) = outs
+    shp = lambda gr, w: gr.reshape(w.shape).astype(w.dtype)
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    return (
+        dx[:N].astype(xw.dtype), dkv[:N].astype(kvw.dtype),
+        shp(dwq, wq), shp(dbq, bq), shp(dwk, wk), shp(dbk, bk),
+        shp(dwv, wv), shp(dbv, bv), shp(dwo, wo), shp(dbo, bo),
+        shp(dtau, tau), shp(dln1s, ln1s), shp(dln1b, ln1b),
+        shp(df1w, f1w), shp(df1b, f1b), shp(df2w, f2w), shp(df2b, f2b),
+        shp(dln2s, ln2s), shp(dln2b, ln2b), dpos.astype(pos.dtype),
+    )
