@@ -230,6 +230,28 @@ class DenseEncoderLayer(nn.Module):
         ln2s = self.param('ln2_scale', nn.initializers.ones, (C,))
         ln2b = self.param('ln2_bias', zinit, (C,))
 
+        pos = slot_pos_embed(w, C).astype(dt)
+        T = w * w
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() not in ('cpu',)
+                and C % 128 == 0 and T % 8 == 0
+            )
+        params = (wq, bq, wk, bk, wv, bv, wo, bo, tau,
+                  ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
+        if use_pallas:
+            # grid-native kernel: window partition + layer + inverse partition
+            # inside one pallas_call — the HBM window_view/unview transposes
+            # cost ~4 ms each at 468² and the C=1 occupancy view another ~4 ms
+            kvg = kv_grid if cross else grid
+            x = pallas_encoder.fused_encoder_layer_grid(
+                grid.x.astype(dt), kvg.x.astype(dt), grid.occ, kvg.occ, pos,
+                *params, self.nhead, self.tau_min, cross, w, self.shift,
+            ).astype(jnp.float32)
+            x = jnp.where(grid.occ[..., None], x, 0.0)
+            return DenseGrid(x=x, occ=grid.occ)
+
         xw = window_view(grid.x.astype(dt), w, self.shift)
         kvw = (
             window_view(kv_grid.x.astype(dt), w, self.shift) if cross else xw
@@ -242,27 +264,12 @@ class DenseEncoderLayer(nn.Module):
                 kv_grid.occ[..., None].astype(jnp.float32), w, self.shift
             )[..., 0] if cross else qmask
         )
-        pos = slot_pos_embed(w, C).astype(dt)
-
         B, NW, T, _ = xw.shape
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() not in ('cpu',)
-                and C % 128 == 0 and T % 8 == 0
-            )
         flat = lambda a: a.reshape(B * NW, *a.shape[2:])
-        args = (flat(xw), flat(kvw), flat(qmask), flat(kmask), pos,
-                wq, bq, wk, bk, wv, bv, wo, bo, tau,
-                ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
-        if use_pallas:
-            out = pallas_encoder.fused_encoder_layer(
-                *args, self.nhead, self.tau_min, cross
-            )
-        else:
-            out = pallas_encoder.reference_encoder_layer(
-                *args, nhead=self.nhead, tau_min=self.tau_min, cross=cross
-            )
+        out = pallas_encoder.reference_encoder_layer(
+            flat(xw), flat(kvw), flat(qmask), flat(kmask), pos, *params,
+            nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+        )
         out = out.reshape(B, NW, T, C).astype(jnp.float32)
         x = window_unview(out, grid.grid_hw, w, self.shift)
         x = jnp.where(grid.occ[..., None], x, 0.0)

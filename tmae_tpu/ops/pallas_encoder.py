@@ -164,14 +164,13 @@ def _attention_core(q, k, v, km, tau, nhead, tau_min, W, T, C,
     return out.reshape(W * T, C)
 
 
-def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
-            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-            tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-            ln2s_ref, ln2b_ref, o_ref, *, nhead, tau_min, cross):
-    W, T, C = x_ref.shape
-    x = x_ref[:]
-    kv = kv_ref[:] if cross else x
-    pos = pos_ref[:]
+def _layer_body(x, kv, qmask, kmask, pos, wq_ref, bq_ref, wk_ref, bk_ref,
+                wv_ref, bv_ref, wo_ref, bo_ref, tau_ref, ln1s_ref, ln1b_ref,
+                f1w_ref, f1b_ref, f2w_ref, f2b_ref, ln2s_ref, ln2b_ref,
+                nhead, tau_min, cross):
+    """Shared kernel body: [W, T, C] window tokens → [W, T, C] output."""
+    W, T, C = x.shape
+    pos = pos[:]
     dt = x.dtype
     xp = (x + pos[None]).reshape(W * T, C)
     q = jnp.dot(xp, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0]
@@ -181,16 +180,16 @@ def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
                 preferred_element_type=jnp.float32) + bv_ref[0]
     if C // nhead < 32:
         mask_mat, mask_mat_t = _head_mask_mats(nhead, C)
-        attn = _attention_core(q, k, v, kmask_ref[:], tau_ref[0, 0], nhead,
+        attn = _attention_core(q, k, v, kmask, tau_ref[0, 0], nhead,
                                tau_min, W, T, C, mask_mat, mask_mat_t)
     else:
-        attn = _attention_core_sliced(q, k, v, kmask_ref[:], tau_ref[0, 0],
+        attn = _attention_core_sliced(q, k, v, kmask, tau_ref[0, 0],
                                       nhead, tau_min, W, T, C)
     attn = jnp.dot(attn.astype(dt), wo_ref[:],
                    preferred_element_type=jnp.float32) + bo_ref[0]
     # attention delta lands only on occupied query cells. Keep (W, T, C) layout:
     # Mosaic can't reshape (W, T) → (W*T, 1) (lane-dim change).
-    qm = qmask_ref[:][..., None] > 0  # [W, T, 1]
+    qm = qmask[..., None] > 0  # [W, T, 1]
     x32 = x.astype(jnp.float32)
     h = _ln(x32 + jnp.where(qm, attn.reshape(W, T, C), 0.0),
             ln1s_ref[0], ln1b_ref[0])
@@ -201,8 +200,64 @@ def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
     ff = jnp.dot(ff.astype(dt), f2w_ref[:],
                  preferred_element_type=jnp.float32) + f2b_ref[0]
     out = _ln(h + ff.reshape(W, T, C), ln2s_ref[0], ln2b_ref[0])
-    out = jnp.where(qm, out, 0.0)
+    return jnp.where(qm, out, 0.0)
+
+
+def _kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+            tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+            ln2s_ref, ln2b_ref, o_ref, *, nhead, tau_min, cross):
+    x = x_ref[:]
+    kv = kv_ref[:] if cross else x
+    out = _layer_body(
+        x, kv, qmask_ref[:], kmask_ref[:], pos_ref, wq_ref, bq_ref, wk_ref,
+        bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, tau_ref, ln1s_ref, ln1b_ref,
+        f1w_ref, f1b_ref, f2w_ref, f2b_ref, ln2s_ref, ln2b_ref,
+        nhead, tau_min, cross,
+    )
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _win_split(tile, TWX, w, C):
+    """In-VMEM rearrangement (w, w*TWX, C) → (TWX, w*w, C): splitting and
+    swapping dims above the (sublane, lane) tile moves whole tiles, so Mosaic
+    lowers it to copies, not element shuffles (unlike the same transpose in
+    HBM, which costs ~4 ms per view at 468²). The lane dim C never changes —
+    channel-less arrays must carry a small lane dim (the occupancy ships as
+    8 lanes) because lane-dim reshapes are unsupported."""
+    t = tile.reshape(w, TWX, w, C)
+    return t.transpose(1, 0, 2, 3).reshape(TWX, w * w, C)
+
+
+def _win_merge(xw, TWX, w, C):
+    """Inverse of _win_split for the output tile."""
+    t = xw.reshape(TWX, w, w, C)
+    return t.transpose(1, 0, 2, 3).reshape(w, TWX * w, C)
+
+
+def _grid_kernel(x_ref, kv_ref, qocc_ref, kocc_ref, pos_ref,
+                 wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+                 bo_ref, tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref,
+                 f2w_ref, f2b_ref, ln2s_ref, ln2b_ref, o_ref,
+                 *, nhead, tau_min, cross, window, twx):
+    """Grid-native variant: reads a (1, w, w*TWX, C) strip of the padded dense
+    BEV grid and rearranges to windows in VMEM — no HBM window_view/unview and
+    no separate occupancy view."""
+    w, TWX = window, twx
+    C = x_ref.shape[-1]
+    x = _win_split(x_ref[0], TWX, w, C)
+    kv = _win_split(kv_ref[0], TWX, w, C) if cross else x
+    # occupancy arrives as 8 identical lanes; reduce after the rearrangement
+    qmask = jnp.max(_win_split(qocc_ref[0], TWX, w, 8), axis=-1)
+    kmask = (jnp.max(_win_split(kocc_ref[0], TWX, w, 8), axis=-1)
+             if cross else qmask)
+    out = _layer_body(
+        x, kv, qmask, kmask, pos_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+        wv_ref, bv_ref, wo_ref, bo_ref, tau_ref, ln1s_ref, ln1b_ref,
+        f1w_ref, f1b_ref, f2w_ref, f2b_ref, ln2s_ref, ln2b_ref,
+        nhead, tau_min, cross,
+    )
+    o_ref[0] = _win_merge(out, TWX, w, C).astype(o_ref.dtype)
 
 
 def reference_encoder_layer(xw, kvw, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
@@ -724,3 +779,149 @@ def _pallas_backward(xw, kvw, qmask, kmask, pos, params, g, *, nhead,
         shp(df1w, f1w), shp(df1b, f1b), shp(df2w, f2w), shp(df2b, f2b),
         shp(dln2s, ln2s), shp(dln2b, ln2b), dpos.astype(pos.dtype),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-native entry point: no HBM window_view/unview
+# ---------------------------------------------------------------------------
+
+GRID_TILE_WINDOWS = 16  # windows per kernel strip along x
+
+
+def _grid_forward(xg, kvg, qocc, kocc, pos, *params, nhead, tau_min, cross,
+                  window, shift):
+    from .dense_windows import window_geometry
+
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    B, H, Wd, C = xg.shape
+    F = f1w.shape[1]
+    w = window
+    nwy, nwx, Hp, Wp = window_geometry((H, Wd), w)
+    off = w // 2 if shift else w
+    TWX = GRID_TILE_WINDOWS
+    nwx_p = ((nwx + TWX - 1) // TWX) * TWX
+    Wp_blk = nwx_p * w
+    pad4 = lambda a: jnp.pad(
+        a, ((0, 0), (off, Hp - H - off), (off, Wp_blk - Wd - off), (0, 0)))
+    occ8 = lambda o: jnp.broadcast_to(
+        o[..., None].astype(jnp.float32), (*o.shape, 8))
+    xg_p = pad4(xg)
+    kvg_p = pad4(kvg) if cross else xg_p
+    qocc_p = pad4(occ8(qocc))
+    kocc_p = pad4(occ8(kocc)) if cross else qocc_p
+
+    dt = xg.dtype
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    strip4 = pl.BlockSpec((1, w, w * TWX, C), lambda b, y, xt: (b, y, xt, 0),
+                          memory_space=pltpu.VMEM)
+    strip_occ = pl.BlockSpec((1, w, w * TWX, 8),
+                             lambda b, y, xt: (b, y, xt, 0),
+                             memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, y, xt: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        strip4, strip4, strip_occ, strip_occ, wspec((w * w, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)), wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    ]
+    kernel = functools.partial(_grid_kernel, nhead=nhead, tau_min=tau_min,
+                               cross=cross, window=w, twx=TWX)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp_blk, C), xg.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nwy, nwx_p // TWX),
+            in_specs=in_specs,
+            out_specs=strip4,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(xg_p, kvg_p, qocc_p, kocc_p, pos,
+      mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
+      tau.reshape(1, 1).astype(jnp.float32), row(ln1s), row(ln1b),
+      mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s), row(ln2b))
+    return out[:, off:off + H, off:off + Wd, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(22, 23, 24, 25, 26))
+def fused_encoder_layer_grid(xg, kvg, qocc, kocc, pos, wq, bq, wk, bk, wv,
+                             bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w,
+                             f2b, ln2s, ln2b, nhead: int, tau_min: float,
+                             cross: bool, window: int, shift: bool):
+    """Fused encoder layer over the dense BEV grid: xg/kvg [B, H, W, C],
+    qocc/kocc [B, H, W] bool — window partition, attention+LN+FFN+LN and the
+    inverse partition all happen inside one kernel."""
+    return _grid_forward(xg, kvg, qocc, kocc, pos,
+                         wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b,
+                         f1w, f1b, f2w, f2b, ln2s, ln2b,
+                         nhead=nhead, tau_min=tau_min, cross=cross,
+                         window=window, shift=shift)
+
+
+def _grid_fwd_vjp(xg, kvg, qocc, kocc, pos, wq, bq, wk, bk, wv, bv, wo, bo,
+                  tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+                  nhead, tau_min, cross, window, shift):
+    params = (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b,
+              f2w, f2b, ln2s, ln2b)
+    out = _grid_forward(xg, kvg, qocc, kocc, pos, *params, nhead=nhead,
+                        tau_min=tau_min, cross=cross, window=window,
+                        shift=shift)
+    return out, (xg, kvg, qocc, kocc, pos) + params
+
+
+def _grid_bwd(nhead, tau_min, cross, window, shift, residuals, g):
+    """Backward via the windowed kernels: pay the XLA window_view transposes
+    only on the training path."""
+    from .dense_windows import window_view, window_unview
+
+    xg, kvg, qocc, kocc, pos = residuals[:5]
+    params = residuals[5:]
+    B, H, Wd, C = xg.shape
+    flat = lambda a: a.reshape(-1, *a.shape[2:])
+    xw = flat(window_view(xg, window, shift))
+    kvw = flat(window_view(kvg, window, shift)) if cross else xw
+    qm = flat(window_view(qocc[..., None].astype(jnp.float32), window,
+                          shift)[..., 0])
+    km = (flat(window_view(kocc[..., None].astype(jnp.float32), window,
+                           shift)[..., 0]) if cross else qm)
+    gw = flat(window_view(g, window, shift))
+    outs = _bwd(nhead, tau_min, cross,
+                (xw, kvw, qm, km, pos) + tuple(params), gw)
+    dxw, dkvw = outs[0], outs[1]
+    NW = dxw.shape[0] // B
+    unflat = lambda a: a.reshape(B, NW, *a.shape[1:])
+    dxg = window_unview(unflat(dxw), (H, Wd), window, shift)
+    dkvg = (window_unview(unflat(dkvw), (H, Wd), window, shift)
+            if cross else jnp.zeros_like(kvg))
+    return (dxg.astype(xg.dtype), dkvg.astype(kvg.dtype),
+            jnp.zeros_like(qocc), jnp.zeros_like(kocc), outs[4]) + outs[5:]
+
+
+fused_encoder_layer_grid.defvjp(_grid_fwd_vjp, _grid_bwd)
+
+
+def reference_encoder_layer_grid(xg, kvg, qocc, kocc, pos, *params, nhead,
+                                 tau_min, cross, window, shift):
+    """jnp twin of the grid-native kernel (CPU path + tests)."""
+    from .dense_windows import window_view, window_unview
+
+    B, H, Wd, C = xg.shape
+    flat = lambda a: a.reshape(-1, *a.shape[2:])
+    xw = flat(window_view(xg, window, shift))
+    kvw = flat(window_view(kvg, window, shift)) if cross else xw
+    qm = flat(window_view(qocc[..., None].astype(jnp.float32), window,
+                          shift)[..., 0])
+    km = (flat(window_view(kocc[..., None].astype(jnp.float32), window,
+                           shift)[..., 0]) if cross else qm)
+    out = reference_encoder_layer(xw, kvw, qm, km, pos, *params, nhead=nhead,
+                                  tau_min=tau_min, cross=cross)
+    NW = out.shape[0] // B
+    return window_unview(out.reshape(B, NW, *out.shape[1:]), (H, Wd), window,
+                         shift)
