@@ -4,17 +4,30 @@ grid) inference throughput on the available accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline note: the reference publishes no throughput number (SURVEY.md §6); its
-inference-speed harness exists but has no recorded output. The north star is
-"≥2x A100 frames/sec/chip". We document the assumed A100 reference throughput for
-this model at ~20 frames/sec (A100 CenterPoint-SST class models run 15-25 fps at
-batch 1 in OpenPCDet-style stacks), so vs_baseline = fps / (2 * 20).
+Baseline basis (see BASELINE.md): the reference publishes NO throughput number
+(SURVEY.md §6) — its inference-speed harness (`eval_utils.py:57-77`) has no
+recorded output. The north star is "≥2x A100 frames/sec/chip". A100 anchor used
+here: SST-class single-stride transformer detectors report ~3.6 fps on a 2080ti
+in the SST paper (CVPR'22); an A100 is ~2.5-3x a 2080ti on such workloads, and
+T-MAE runs the SST encoder twice (two frames) plus WCA cross-attention. 15-25
+fps at batch 1 on A100 brackets the plausible range; we keep 20 fps as the
+documented anchor => target = 2 x 20 = 40 fps.
+
+Robustness: the measurement runs in a CHILD process that streams partial
+results; the PARENT enforces a wall-clock deadline (BENCH_BUDGET_S, default
+480 s) that works even while the child is blocked inside a long XLA compile
+(where in-process signal handlers cannot fire). The parent always prints
+exactly one JSON line — the child's final result, or the last streamed
+partial, or a zero-value record.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -23,9 +36,17 @@ sys.path.insert(0, str(REPO))
 
 ASSUMED_A100_FPS = 20.0
 TARGET_FPS = 2 * ASSUMED_A100_FPS
+BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '480'))
+
+ZERO = {
+    'metric': 'finetune_inference_frames_per_sec_per_chip',
+    'value': 0.0,
+    'unit': 'frames/s',
+    'vs_baseline': 0.0,
+}
 
 
-def main():
+def child():
     import jax
 
     cache_dir = REPO / '.jax_cache'
@@ -33,13 +54,19 @@ def main():
     jax.config.update('jax_compilation_cache_dir', str(cache_dir))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
-    import numpy as np
 
     from tmae_tpu.config import cfg_from_yaml_file
     from tmae_tpu.datasets.dataset import build_dataloader
     from tmae_tpu.models.detectors import (
         build_detector, centerpoint_predict, host_nms,
     )
+
+    t_start = time.perf_counter()
+
+    def note(msg):
+        sys.stderr.write(f'bench[child] t={time.perf_counter()-t_start:.0f}s '
+                         f'{msg}\n')
+        sys.stderr.flush()
 
     cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
     dataset, loader = build_dataloader(
@@ -52,9 +79,11 @@ def main():
         k: jnp.asarray(v) for k, v in batch.items()
         if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')
     }
+    note('data ready')
     variables = jax.jit(
         lambda rng, b: model.init(rng, b, train=False)
     )(jax.random.PRNGKey(0), dev_batch)
+    note('params ready')
 
     @jax.jit
     def infer(variables, b):
@@ -69,22 +98,68 @@ def main():
 
     # warmup / compile (includes the host-NMS library build)
     full_infer(dev_batch)
+    note('warmup done')
+
+    def emit(tag, fps):
+        print(json.dumps({
+            'tag': tag,
+            'metric': 'finetune_inference_frames_per_sec_per_chip',
+            'value': round(fps, 3),
+            'unit': 'frames/s',
+            'vs_baseline': round(fps / TARGET_FPS, 3),
+        }), flush=True)
+
     # timed reps (reference eval_infer_speed: 200 reps with warmup slicing,
-    # eval_utils.py:57-77; we use 20 reps to bound bench time). Each rep fetches
+    # eval_utils.py:57-77; 20 reps here bounds bench time). Each rep fetches
     # results to host and runs NMS there — a full end-to-end inference.
     reps = 20
+    done = 0
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = full_infer(dev_batch)
-    dt = time.perf_counter() - t0
-    fps = reps * dev_batch['points'].shape[0] / dt
-    print(json.dumps({
-        'metric': 'finetune_inference_frames_per_sec_per_chip',
-        'value': round(fps, 3),
-        'unit': 'frames/s',
-        'vs_baseline': round(fps / TARGET_FPS, 3),
-    }))
+        full_infer(dev_batch)
+        done += 1
+        emit('partial', done * dev_batch['points'].shape[0] /
+             (time.perf_counter() - t0))
+    fps = reps * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
+    emit('final', fps)
+
+
+def parent():
+    deadline = time.monotonic() + BUDGET_S
+    proc = subprocess.Popen(
+        [sys.executable, str(Path(__file__).resolve()), '--child'],
+        stdout=subprocess.PIPE, text=True, cwd=str(REPO),
+    )
+    last = [None]
+
+    def reader():
+        for line in proc.stdout:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if 'value' in rec:
+                last[0] = rec
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    while proc.poll() is None and time.monotonic() < deadline:
+        time.sleep(0.5)
+    if proc.poll() is None:
+        sys.stderr.write('bench: deadline hit, killing child\n')
+        proc.kill()
+        proc.wait()
+    t.join(timeout=5)
+    rec = dict(last[0]) if last[0] else dict(ZERO)
+    rec.pop('tag', None)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if '--child' in sys.argv:
+        child()
+    else:
+        parent()
