@@ -1,0 +1,180 @@
+"""Occupied-window compaction (ops/occ_compact.py): index construction,
+gather/scatter round trips, gradient transposes, and dense-vs-compact
+equivalence of the encoder layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmae_tpu.ops import occ_compact as oc
+from tmae_tpu.ops.dense_windows import window_geometry, window_view
+
+
+def _occ(rng, B, H, W, frac=0.1):
+    return jnp.asarray(rng.rand(B, H, W) < frac)
+
+
+def test_occupied_window_indices_cover_all_occupied():
+    rng = np.random.RandomState(0)
+    H = W = 36
+    occ = _occ(rng, 2, H, W, 0.05)
+    for shift in (False, True):
+        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=64)
+        nwy, nwx, Hp, Wp = window_geometry((H, W), 8)
+        off = 4 if shift else 8
+        occp = np.zeros((2, Hp, Wp), bool)
+        occp[:, off:off + H, off:off + W] = np.asarray(occ)
+        pool = occp.reshape(2, nwy, 8, nwx, 8).any(axis=(2, 4))
+        for b in range(2):
+            want = {(y, x) for y, x in zip(*np.nonzero(pool[b]))}
+            got = {tuple(t) for t, v in
+                   zip(np.asarray(idx[b]), np.asarray(valid[b])) if v}
+            assert got == want
+            # padding slots point at the dummy window
+            for t, v in zip(np.asarray(idx[b]), np.asarray(valid[b])):
+                if not v:
+                    assert tuple(t) == (nwy, 0)
+
+
+def test_gather_scatter_roundtrip():
+    rng = np.random.RandomState(1)
+    B, H, W, C = 2, 20, 20, 8
+    occ = _occ(rng, B, H, W, 0.15)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    x = jnp.where(occ[..., None], x, 0.0)
+    for shift in (False, True):
+        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=16)
+        xw = oc.gather_windows(x, idx, (H, W), 8, shift)
+        back = oc.scatter_windows(xw, idx, (H, W), 8, shift)
+        back = jnp.where(occ[..., None], back, 0.0)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_gather_matches_window_view():
+    rng = np.random.RandomState(2)
+    B, H, W, C = 1, 20, 20, 4
+    occ = _occ(rng, B, H, W, 0.2)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    for shift in (False, True):
+        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=16)
+        xw = oc.gather_windows(x, idx, (H, W), 8, shift)
+        full = window_view(x, 8, shift)
+        nwy, nwx, _, _ = window_geometry((H, W), 8)
+        for s in range(int(np.asarray(valid).sum())):
+            wy, wx = np.asarray(idx[0, s])
+            np.testing.assert_allclose(
+                np.asarray(xw[0, s]), np.asarray(full[0, wy * nwx + wx]),
+                atol=0,
+            )
+
+
+def test_gather_window_occ_masks():
+    rng = np.random.RandomState(3)
+    B, H, W = 1, 20, 20
+    occ = _occ(rng, B, H, W, 0.2)
+    idx, valid = oc.occupied_window_indices(occ, 8, False, cap=16)
+    qm = oc.gather_window_occ(occ, idx, (H, W), 8, False)
+    occw = window_view(occ[..., None].astype(jnp.float32), 8, False)[..., 0]
+    nwy, nwx, _, _ = window_geometry((H, W), 8)
+    for s in range(int(np.asarray(valid).sum())):
+        wy, wx = np.asarray(idx[0, s])
+        np.testing.assert_allclose(
+            np.asarray(qm[0, s]), np.asarray(occw[0, wy * nwx + wx]))
+
+
+def test_gather_scatter_gradients_are_transposes():
+    rng = np.random.RandomState(4)
+    B, H, W, C = 1, 12, 12, 4
+    occ = _occ(rng, B, H, W, 0.3)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    idx, valid = oc.occupied_window_indices(occ, 8, True, cap=8)
+
+    def f(x):
+        xw = oc.gather_windows(x, idx, (H, W), 8, True)
+        return jnp.sum(jnp.sin(xw))
+
+    g = jax.grad(f)(x)
+    # finite-difference check at a handful of occupied cells
+    eps = 1e-3
+    ys, xs = np.nonzero(np.asarray(occ[0]))
+    for y, xx in list(zip(ys, xs))[:4]:
+        dx = np.zeros_like(np.asarray(x))
+        dx[0, y, xx, 0] = eps
+        num = (f(x + dx) - f(x - dx)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[0, y, xx, 0]), num, atol=1e-3)
+
+
+def test_compact_encoder_layer_matches_dense():
+    """DenseEncoderLayer with a compaction plan == without, on the CPU
+    reference path (both self- and cross-attention)."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops.occ_compact import build_compact_info
+
+    rng = np.random.RandomState(5)
+    B, H, W, C = 2, 16, 16, 128
+    occ = _occ(rng, B, H, W, 0.25)
+    kocc = _occ(rng, B, H, W, 0.25)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    kv = jnp.where(kocc[..., None],
+                   jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    kv_grid = DenseGrid(x=kv, occ=kocc)
+    for cross in (False, True):
+        layer = DenseEncoderLayer(
+            d_model=C, nhead=8, dim_feedforward=256, window=8, shift=True,
+            cross=cross, use_pallas=False,
+        )
+        params = layer.init(jax.random.PRNGKey(0), grid,
+                            kv_grid if cross else None)
+        dense_out = layer.apply(params, grid, kv_grid if cross else None)
+        ci = build_compact_info(occ, 8, True, 16, (H, W),
+                                kv_occ=kocc if cross else None)
+        comp_out = layer.apply(params, grid, kv_grid if cross else None, ci)
+        np.testing.assert_allclose(
+            np.asarray(comp_out.x), np.asarray(dense_out.x),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_compact_cap_overflow_drops_windows_but_stays_finite():
+    """With a cap smaller than the occupied-window count, overflow windows are
+    zeroed (documented degradation), never garbage."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops.occ_compact import build_compact_info
+
+    rng = np.random.RandomState(6)
+    B, H, W, C = 1, 32, 32, 128
+    occ = jnp.ones((B, H, W), bool)  # every window occupied
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    grid = DenseGrid(x=x, occ=occ)
+    layer = DenseEncoderLayer(
+        d_model=C, nhead=8, dim_feedforward=256, window=8, shift=False,
+        use_pallas=False,
+    )
+    params = layer.init(jax.random.PRNGKey(0), grid)
+    ci = build_compact_info(occ, 8, False, 8, (H, W))  # cap 8 < 25 windows
+    out = layer.apply(params, grid, None, ci)
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_sstblock_with_cap_matches_without():
+    from tmae_tpu.models.sst import SSTBlock, DenseGrid
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 1, 16, 16, 128
+    occ = _occ(rng, B, H, W, 0.3)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    ecfg = dict(NUM_BLOCKS=1, STRIDE=1, D_MODEL=C, NHEAD=8,
+                DIM_FEEDFORWARD=256)
+    blk_d = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False)
+    blk_c = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False,
+                     occ_window_cap=16)
+    params = blk_d.init(jax.random.PRNGKey(0), grid, False)
+    out_d = blk_d.apply(params, grid, False)
+    out_c = blk_c.apply(params, grid, False)
+    np.testing.assert_allclose(np.asarray(out_c.x), np.asarray(out_d.x),
+                               atol=2e-2, rtol=2e-2)

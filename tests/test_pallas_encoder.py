@@ -65,8 +65,13 @@ def test_gradients_match_reference():
 
     g1 = jax.grad(loss_fused, argnums=(0, 1))(args[0], args[16])
     g2 = jax.grad(loss_ref, argnums=(0, 1))(args[0], args[16])
+    # the fused forward runs its attention matmuls in bf16 (AMP-class
+    # numerics), so the cotangent fed to the backward differs from the f32
+    # reference at bf16 resolution — tolerance sized accordingly
     for a, b in zip(g1, g2):
-        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+        assert err < 2e-2, err
 
 
 def test_dense_encoder_layer_module_cpu_path():

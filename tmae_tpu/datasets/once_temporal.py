@@ -208,6 +208,14 @@ class SyntheticONCEDataset(ONCETemporalDataset):
         self.num_samples = int(dataset_cfg.get('NUM_SYNTHETIC_SAMPLES', 16))
         self.points_per_frame = int(dataset_cfg.get('SYNTHETIC_POINTS', 4096))
         self.boxes_per_frame = int(dataset_cfg.get('SYNTHETIC_BOXES', 8))
+        # 'uniform' = fast box+ground+uniform-clutter scenes (tests);
+        # 'lidar' = ray-cast 40-beam spinning LiDAR (ONCE sensor class) with
+        # ground rings + occlusion shadows — matches the real data's spatial
+        # sparsity (~40-60% occupied 8x8 BEV windows vs ~97% for uniform),
+        # which the occupied-window compaction path exploits. Benchmarks use
+        # this mode so the perf number reflects real-data window occupancy.
+        self.synthetic_mode = str(dataset_cfg.get('SYNTHETIC_MODE', 'uniform'))
+        self._frame_cache = {}
         DatasetTemplate.__init__(self, dataset_cfg, class_names, training,
                                  root_path, runtime_cfg, seed)
         self.scan_window = int(dataset_cfg.get('SCAN_WINDOW', 3))
@@ -247,12 +255,105 @@ class SyntheticONCEDataset(ONCETemporalDataset):
                 rng.uniform(-np.pi, np.pi),
             ]
             names.append(cls)
-        scene = {'boxes': boxes, 'names': np.asarray(names), 'rng_seed': index}
+        # unlabeled scene content for the lidar mode (uniform mode: unused):
+        # building-like occluders at 15-70 m plus bush/car/pole-scale clutter
+        n_bld, n_clutter = 14, 150
+        occl = np.zeros((n_bld + n_clutter, 7), np.float32)
+        for i in range(n_bld):
+            ang = rng.uniform(-np.pi, np.pi)
+            r = rng.uniform(15.0, 70.0)
+            occl[i] = [
+                r * np.cos(ang), r * np.sin(ang), rng.uniform(1.0, 3.0),
+                rng.uniform(5.0, 25.0), rng.uniform(3.0, 12.0),
+                rng.uniform(4.0, 10.0), rng.uniform(-np.pi, np.pi),
+            ]
+        for i in range(n_bld, n_bld + n_clutter):
+            ang = rng.uniform(-np.pi, np.pi)
+            r = rng.uniform(5.0, 72.0)
+            occl[i] = [
+                r * np.cos(ang), r * np.sin(ang), rng.uniform(-1.5, 0.0),
+                rng.uniform(0.5, 4.0), rng.uniform(0.5, 3.0),
+                rng.uniform(0.5, 2.5), rng.uniform(-np.pi, np.pi),
+            ]
+        scene = {'boxes': boxes, 'names': np.asarray(names), 'rng_seed': index,
+                 'occluders': occl}
         self._annos_cache[index] = scene
         return scene
 
+    def _render_frame_lidar(self, scene, rng):
+        """Ray-cast a 40-beam spinning LiDAR (ONCE sensor class: 40 beams,
+        -25..+15 deg elevation, ~0.25 deg azimuth step, sensor at z=0 which is
+        ~1.9 m above ground). Rays hit the nearest of {ground plane, gt boxes,
+        random building-like occluder cuboids}; misses (sky) return nothing.
+        Produces the concentric ground rings, object faces, and occlusion
+        shadows that give real LiDAR BEV grids their characteristic sparsity."""
+        boxes = scene['boxes']
+        occluders = scene['occluders']
+        pc = self.pc_range
+        n_beams = 40
+        elev = np.deg2rad(np.linspace(-25.0, 15.0, n_beams))
+        n_az = 2048
+        az = np.deg2rad(
+            np.arange(n_az) * (360.0 / n_az) + rng.uniform(0, 0.25)
+        )
+        ce, se = np.cos(elev), np.sin(elev)
+        ca, sa = np.cos(az), np.sin(az)
+        # direction grid [E, A, 3]
+        dx = ce[:, None] * ca[None, :]
+        dy = ce[:, None] * sa[None, :]
+        dz = np.broadcast_to(se[:, None], dx.shape)
+        t_best = np.full(dx.shape, np.inf, np.float32)
+        # ground z = zg + roughness: per-ray height noise spreads each ring
+        # into a radial band at grazing incidence (band width ~ sigma/tan(el)),
+        # which is what fills real BEV grids between the ideal ring circles
+        zg = -1.9 + rng.uniform(-0.05, 0.05)
+        zray = zg + rng.normal(0, 0.10, dx.shape)
+        with np.errstate(divide='ignore'):
+            t_g = np.where(dz < -1e-6, zray / dz, np.inf)
+        t_best = np.minimum(t_best, t_g)
+        # cuboid hits (gt boxes + occluders), slab method in the box frame
+        for b in np.concatenate([boxes, occluders], axis=0):
+            c, s = np.cos(b[6]), np.sin(b[6])
+            # ray origin is (0,0,0); box center/extent
+            ox = -(b[0] * c + b[1] * s)
+            oy = -(-b[0] * s + b[1] * c)
+            oz = -b[2]
+            rdx = dx * c + dy * s
+            rdy = -dx * s + dy * c
+            tmin = np.full(dx.shape, 0.0, np.float32)
+            tmax = np.full(dx.shape, np.inf, np.float32)
+            for o, d, half in ((ox, rdx, b[3] / 2), (oy, rdy, b[4] / 2),
+                               (oz, dz, b[5] / 2)):
+                with np.errstate(divide='ignore', invalid='ignore'):
+                    inv = 1.0 / d
+                t1 = (-half - o) * inv
+                t2 = (half - o) * inv
+                lo, hi = np.minimum(t1, t2), np.maximum(t1, t2)
+                par_in = np.abs(d) < 1e-8
+                inside = np.abs(o) <= half
+                lo = np.where(par_in, np.where(inside, 0.0, np.inf), lo)
+                hi = np.where(par_in, np.where(inside, np.inf, -np.inf), hi)
+                tmin = np.maximum(tmin, lo)
+                tmax = np.minimum(tmax, hi)
+            t_hit = np.where((tmax >= tmin) & (tmin > 0.5), tmin, np.inf)
+            t_best = np.minimum(t_best, t_hit)
+        r_max = float(max(pc[3], pc[4])) * 1.5
+        hit = np.isfinite(t_best) & (t_best < r_max)
+        t = (t_best + rng.normal(0, 0.02, t_best.shape))[hit]
+        px = (dx[hit] * t).astype(np.float32)
+        py = (dy[hit] * t).astype(np.float32)
+        pz = (dz[hit] * t).astype(np.float32)
+        inten = rng.uniform(0, 1, len(px)).astype(np.float32)
+        pts = np.stack([px, py, pz, inten], -1)
+        n = self.points_per_frame
+        if len(pts) > n:
+            pts = pts[rng.choice(len(pts), n, replace=False)]
+        return pts.astype(np.float32)
+
     def _render_frame(self, scene, jitter_rng):
         """Points on box surfaces + ground plane + clutter."""
+        if self.synthetic_mode == 'lidar':
+            return self._render_frame_lidar(scene, jitter_rng)
         boxes = scene['boxes']
         pts = []
         n_obj = self.points_per_frame // 2 // max(len(boxes), 1)
@@ -278,13 +379,20 @@ class SyntheticONCEDataset(ONCETemporalDataset):
     def __len__(self):
         return self.num_samples
 
+    def _frame(self, index, which):
+        key = (index, which)
+        if key not in self._frame_cache:
+            scene = self._scene(index)
+            rng = np.random.RandomState(
+                (2000 if which == 'cur' else 3000) + index)
+            self._frame_cache[key] = self._render_frame(scene, rng)
+        return self._frame_cache[key]
+
     def __getitem__(self, index):
         scene = self._scene(index)
-        rng_cur = np.random.RandomState(2000 + index)
-        rng_prv = np.random.RandomState(3000 + index)
         data = {
-            'points': self._render_frame(scene, rng_cur),
-            'points_prev': self._render_frame(scene, rng_prv),
+            'points': self._frame(index, 'cur').copy(),
+            'points_prev': self._frame(index, 'prv').copy(),
             'frame_id': f'synth_{index:06d}',
             'gt_names': scene['names'].copy(),
             'gt_boxes': scene['boxes'].copy(),

@@ -66,6 +66,9 @@ class _DetectorBase(nn.Module):
     class_names: Sequence[str]
     spec: VoxelSpec
     max_voxels_per_level: Sequence[int]
+    # occupied-window compaction caps per pyramid level (RUNTIME.OCC_WINDOW_CAPS;
+    # empty = dense windows). See ops/occ_compact.py.
+    occ_window_caps: Sequence[int] = ()
 
     def _vfe(self, batch, train):
         """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras)."""
@@ -119,11 +122,13 @@ class CenterPoint(_DetectorBase):
         b3d = self.model_cfg['BACKBONE_3D']
         if b3d['NAME'] == 'SiamWCA':
             spatial, _ = SiamWCA(
-                b3d, self.max_voxels_per_level, name='backbone_3d'
+                b3d, self.max_voxels_per_level,
+                occ_window_caps=self.occ_window_caps, name='backbone_3d'
             )(vs_cur, vs_prv, train)
         elif b3d['NAME'] == 'SPTBackbone':
             spatial, _ = SPTBackbone(
-                b3d, self.max_voxels_per_level, name='backbone_3d'
+                b3d, self.max_voxels_per_level,
+                occ_window_caps=self.occ_window_caps, name='backbone_3d'
             )(vs_cur, train)
         else:
             raise NotImplementedError(b3d['NAME'])
@@ -147,14 +152,14 @@ class TMAE(_DetectorBase):
             out = SiamWCA_MAE(
                 b3d, self.max_voxels_per_level,
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
-                name='backbone_3d',
+                occ_window_caps=self.occ_window_caps, name='backbone_3d',
             )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         elif b3d['NAME'] == 'SPTBackboneMAE':
             out = SPTBackboneMAE(
                 b3d, self.max_voxels_per_level,
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
-                name='backbone_3d',
+                occ_window_caps=self.occ_window_caps, name='backbone_3d',
             )(vs_cur, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         else:
@@ -202,6 +207,8 @@ def build_detector(cfg):
         class_names=tuple(cfg['CLASS_NAMES']),
         spec=spec,
         max_voxels_per_level=tuple(int(v) for v in runtime['MAX_VOXELS']),
+        occ_window_caps=tuple(
+            int(v) for v in runtime.get('OCC_WINDOW_CAPS', ())),
     )
 
 

@@ -201,6 +201,7 @@ class GraphRCNN(nn.Module):
     class_names: Sequence[str]
     spec: VoxelSpec
     max_voxels_per_level: Sequence[int]
+    occ_window_caps: Sequence[int] = ()  # unused (no SST windows); build parity
 
     @nn.compact
     def __call__(self, batch, train: bool, proposal_rng=None):

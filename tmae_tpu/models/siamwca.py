@@ -57,10 +57,16 @@ class SiamWCAEncoder(nn.Module):
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
     window: int = 8
+    occ_window_caps: Sequence[int] | None = None
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
         return max(int(v['max_tokens']) for v in dict(drop).values())
+
+    def _cap(self, i) -> int:
+        if not self.occ_window_caps:
+            return 0
+        return int(self.occ_window_caps[i])
 
     def setup(self):
         blocks = self.model_cfg['SST_BLOCK_LIST']
@@ -77,6 +83,7 @@ class SiamWCAEncoder(nn.Module):
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
                 max_tokens=self._max_tokens(b),
                 max_voxels_out=self.max_voxels_per_level[i],
+                occ_window_cap=self._cap(i),
                 name=f'sst_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -88,6 +95,7 @@ class SiamWCAEncoder(nn.Module):
                     max_tokens=self._max_tokens(b),
                     max_voxels_out=self.max_voxels_per_level[i],
                     half_channels=True,
+                    occ_window_cap=self._cap(i),
                     name=f'sst_block_prev_{i}',
                 )
                 for i, b in enumerate(blocks)
@@ -96,6 +104,7 @@ class SiamWCAEncoder(nn.Module):
             WCABlock(
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
                 max_tokens=self._max_tokens(b),
+                occ_window_cap=self._cap(i),
                 name=f'wca_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -147,13 +156,15 @@ class SiamWCA(nn.Module):
 
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
+    occ_window_caps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
         g_cur = DenseGrid(x=vs_cur.to_dense(), occ=vs_cur.occupancy())
         g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
         fused = SiamWCAEncoder(
-            self.model_cfg, self.max_voxels_per_level, name='encoder'
+            self.model_cfg, self.max_voxels_per_level,
+            occ_window_caps=self.occ_window_caps, name='encoder'
         )(g_cur, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -225,6 +236,7 @@ class SiamWCA_MAE(nn.Module):
     max_voxels_per_level: Sequence[int]
     voxel_size: tuple
     pc_range: tuple
+    occ_window_caps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet,
@@ -248,7 +260,8 @@ class SiamWCA_MAE(nn.Module):
         g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
 
         fused = SiamWCAEncoder(
-            self.model_cfg, self.max_voxels_per_level, name='encoder'
+            self.model_cfg, self.max_voxels_per_level,
+            occ_window_caps=self.occ_window_caps, name='encoder'
         )(g_vis, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

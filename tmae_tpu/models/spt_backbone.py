@@ -24,6 +24,7 @@ class SPTEncoder(nn.Module):
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
     window: int = 8
+    occ_window_caps: Sequence[int] | None = None
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
@@ -33,11 +34,13 @@ class SPTEncoder(nn.Module):
     def __call__(self, grid: DenseGrid, train: bool):
         hidden = []
         x = grid
+        caps = self.occ_window_caps
         for i, b in enumerate(self.model_cfg['SST_BLOCK_LIST']):
             x = SSTBlock(
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
                 max_tokens=self._max_tokens(b),
                 max_voxels_out=self.max_voxels_per_level[i],
+                occ_window_cap=int(caps[i]) if caps else 0,
                 name=f'sst_block_{i}',
             )(x, train)
             hidden.append(x)
@@ -49,12 +52,14 @@ class SPTBackbone(nn.Module):
 
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
+    occ_window_caps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, vs: VoxelSet, train: bool):
         grid = DenseGrid(x=vs.to_dense(), occ=vs.occupancy())
         hidden = SPTEncoder(
-            self.model_cfg, self.max_voxels_per_level, name='encoder'
+            self.model_cfg, self.max_voxels_per_level,
+            occ_window_caps=self.occ_window_caps, name='encoder'
         )(grid, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -74,6 +79,7 @@ class SPTBackboneMAE(nn.Module):
     max_voxels_per_level: Sequence[int]
     voxel_size: tuple
     pc_range: tuple
+    occ_window_caps: Sequence[int] | None = None
 
     @nn.compact
     def __call__(self, vs: VoxelSet, points_xyz, point_voxel, point_valid,
@@ -95,7 +101,8 @@ class SPTBackboneMAE(nn.Module):
         g_vis = DenseGrid(x=vs_vis.to_dense(), occ=vs_vis.occupancy())
 
         hidden = SPTEncoder(
-            self.model_cfg, self.max_voxels_per_level, name='encoder'
+            self.model_cfg, self.max_voxels_per_level,
+            occ_window_caps=self.occ_window_caps, name='encoder'
         )(g_vis, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

@@ -27,6 +27,7 @@ class SSD3D(nn.Module):
     class_names: Sequence[str]
     spec: Any = None                       # unused: point-based, no voxel grid
     max_voxels_per_level: Sequence[int] = ()
+    occ_window_caps: Sequence[int] = ()    # unused (no SST windows)
 
     @nn.compact
     def __call__(self, batch, train: bool):

@@ -193,7 +193,8 @@ class DenseEncoderLayer(nn.Module):
     use_pallas: bool | None = None
 
     @nn.compact
-    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
+    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
+                 compact=None):
         from ..ops import pallas_encoder
 
         assert self.cosine and self.activation == 'gelu', (
@@ -240,6 +241,36 @@ class DenseEncoderLayer(nn.Module):
             )
         params = (wq, bq, wk, bk, wv, bv, wo, bo, tau,
                   ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
+        if compact is not None:
+            # occupied-window compaction (ops/occ_compact.py): gather only the
+            # occupied windows, run the flat fused kernel on them, scatter back
+            from ..ops.occ_compact import gather_windows, scatter_windows
+
+            hw = grid.grid_hw
+            kvg = kv_grid if cross else grid
+            B = grid.x.shape[0]
+            cap = compact.idx.shape[1]
+            xw = gather_windows(grid.x.astype(dt), compact.idx, hw, w,
+                                self.shift)
+            kvw = (gather_windows(kvg.x.astype(dt), compact.idx, hw, w,
+                                  self.shift) if cross else xw)
+            qm = compact.qmask
+            km = compact.kmask if cross else qm
+            flat = lambda a: a.reshape(B * cap, *a.shape[2:])
+            if use_pallas:
+                out = pallas_encoder.fused_encoder_layer(
+                    flat(xw), flat(kvw), flat(qm), flat(km), pos, *params,
+                    nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+                )
+            else:
+                out = pallas_encoder.reference_encoder_layer(
+                    flat(xw), flat(kvw), flat(qm), flat(km), pos, *params,
+                    nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+                )
+            out = out.reshape(B, cap, T, C)
+            x = scatter_windows(out, compact.idx, hw, w, self.shift)
+            x = jnp.where(grid.occ[..., None], x.astype(jnp.float32), 0.0)
+            return DenseGrid(x=x, occ=grid.occ)
         if use_pallas:
             # grid-native kernel: window partition + layer + inverse partition
             # inside one pallas_call — the HBM window_view/unview transposes
@@ -290,14 +321,16 @@ class DenseShiftBlock(nn.Module):
     cross: bool = False
 
     @nn.compact
-    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None):
+    def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
+                 compact_pair=None):
         for i in range(2):
             grid = DenseEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.window,
                 shift=(i % 2 == 1), activation=self.activation,
                 cosine=self.cosine, tau_min=self.tau_min, cross=self.cross,
                 name=f'EncoderLayer_{i}',
-            )(grid, kv_grid)
+            )(grid, kv_grid,
+              compact_pair[i % 2] if compact_pair is not None else None)
         return grid
 
 
@@ -312,6 +345,7 @@ class SSTBlock(nn.Module):
     max_voxels_out: int = 0  # unused on the dense path (kept for config parity)
     half_channels: bool = False  # asymmetric siamese branch (spt_backbone.py:274-287)
     remat: bool = True
+    occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
 
     @nn.compact
     def __call__(self, grid: DenseGrid, train: bool) -> DenseGrid:
@@ -348,6 +382,17 @@ class SSTBlock(nn.Module):
             x = nn.relu(x)
 
         g = DenseGrid(x=x, occ=occ)
+        # one compaction plan per shift, shared by every layer of the stage
+        compact_pair = None
+        if self.occ_window_cap > 0:
+            from ..ops.occ_compact import build_compact_info, round_cap
+
+            hw = (x.shape[1], x.shape[2])
+            compact_pair = tuple(
+                build_compact_info(occ, self.window, s,
+                                   round_cap(self.occ_window_cap), hw)
+                for s in (False, True)
+            )
         # remat each shift block: the window tensors dominate training memory
         # (jax.checkpoint trades recompute for HBM, DESIGN.md §6)
         block_cls = nn.remat(DenseShiftBlock) if self.remat else DenseShiftBlock
@@ -358,7 +403,7 @@ class SSTBlock(nn.Module):
                 cosine=layer_cfg.get('cosine', True),
                 tau_min=layer_cfg.get('tau_min', 0.01),
                 name=f'encoder_{i}',
-            )(g)
+            )(g, None, compact_pair)
 
         # residual add (spt_backbone.py:349-351) then SubM conv_out
         y = x + g.x

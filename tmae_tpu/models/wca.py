@@ -27,6 +27,7 @@ class WCABlock(nn.Module):
     encoder_cfg: dict
     window: int = 8
     max_tokens: int = 64
+    occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
 
     @nn.compact
     def __call__(self, grid: DenseGrid, grid_prv: DenseGrid,
@@ -36,6 +37,20 @@ class WCABlock(nn.Module):
         layer_cfg = ecfg.get('LAYER_CFG', {})
         assert grid.grid_hw == grid_prv.grid_hw
 
+        # compaction plan keyed on the current frame's occupancy (queries);
+        # prev-frame occupancy only feeds the key mask — windows empty in prev
+        # get a zero attention delta, the coupled-drop semantics (module doc)
+        compact_pair = None
+        if self.occ_window_cap > 0:
+            from ..ops.occ_compact import build_compact_info, round_cap
+
+            compact_pair = tuple(
+                build_compact_info(grid.occ, self.window, s,
+                                   round_cap(self.occ_window_cap),
+                                   grid.grid_hw, kv_occ=grid_prv.occ)
+                for s in (False, True)
+            )
+
         g = DenseShiftBlock(
             d_model, ecfg['NHEAD'], ecfg['DIM_FEEDFORWARD'], self.window,
             activation=ecfg.get('ACTIVATION', 'gelu'),
@@ -43,7 +58,7 @@ class WCABlock(nn.Module):
             tau_min=layer_cfg.get('tau_min', 0.01),
             cross=True,
             name='block_0',
-        )(grid, grid_prv)
+        )(grid, grid_prv, compact_pair)
 
         y = grid.x + g.x  # residual add (SiamWCA.py:438-444)
         y = nn.remat(SubMConvBlock, static_argnums=(3,))(

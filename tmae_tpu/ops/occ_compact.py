@@ -1,0 +1,264 @@
+"""Occupied-window compaction for the dense SST/WCA hot path.
+
+At real-LiDAR sparsity most 8x8 BEV windows are empty (measured ~10-25% occupied
+at stride 1 on ONCE-like frames), yet the dense window kernels attend over every
+window. This module gathers only the occupied windows into a compact
+``[B, cap, T, C]`` tensor (static cap + validity mask), runs the fused encoder
+kernel on that, and scatters results back — the TPU analog of the reference's
+own sparsity premise (``pcdet/models/backbones_3d/spt_backbone.py:47-135`` never
+computes on empty windows).
+
+Mechanics: Pallas gather/scatter kernels with scalar-prefetched window
+coordinates (``pltpu.PrefetchScalarGridSpec``) move one (w, w, C) window tile
+per grid step directly between the padded dense grid in HBM and the compact
+tensor — no full-window-tensor materialization, no HBM transposes. Padding
+slots beyond the occupied count point at a dummy window in an extra padded
+window row ((nwy, 0)), whose cells never map back to the real grid.
+
+Gradient flow: gather and scatter are exact transposes of each other, so each
+is its own ``custom_vjp`` partner. Cells of unoccupied windows receive zero
+cotangent, which matches the exact gradient (their forward output is
+occ-masked to zero by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense_windows import window_geometry, window_view, window_unview
+
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def _use_pallas():
+    return _INTERPRET or jax.default_backend() == 'tpu'
+
+
+def round_cap(cap: int, mult: int = 16) -> int:
+    return ((int(cap) + mult - 1) // mult) * mult
+
+
+def occupied_window_indices(occ: jnp.ndarray, window: int, shift: bool,
+                            cap: int):
+    """Block coordinates of the occupied windows of each sample, occupied-first
+    in raster order. Returns (idx_yx [B, cap, 2] int32, valid [B, cap] bool).
+    Padding slots point at the dummy window (nwy, 0) — one block row below the
+    padded grid."""
+    B, H, W = occ.shape
+    nwy, nwx, Hp, Wp = window_geometry((H, W), window)
+    off = window // 2 if shift else window
+    occp = jnp.pad(occ, ((0, 0), (off, Hp - H - off), (off, Wp - W - off)))
+    pool = jax.lax.reduce_window(
+        occp, False, jax.lax.bitwise_or, (1, window, window),
+        (1, window, window), 'VALID',
+    )  # [B, nwy, nwx]
+    flat = pool.reshape(B, nwy * nwx)
+    order = jnp.argsort(~flat, axis=1, stable=True).astype(jnp.int32)
+    if cap > order.shape[1]:
+        order = jnp.pad(order, ((0, 0), (0, cap - order.shape[1])))
+    slot = order[:, :cap]
+    nocc = jnp.sum(flat, axis=1)
+    valid = jnp.arange(cap)[None, :] < nocc[:, None]
+    dummy = jnp.int32(nwy * nwx)  # flat id of (nwy, 0)
+    slot = jnp.where(valid, slot, dummy)
+    wy = slot // nwx
+    wx = slot % nwx
+    return jnp.stack([wy, wx], axis=-1), valid
+
+
+def _pad_grid(xg, window, shift):
+    """[B, H, W, C] → [B, Hp + w, Wp, C] with the shift's top-left offset and
+    one extra window row at the bottom (the dummy-slot target)."""
+    B, H, W, C = xg.shape
+    nwy, nwx, Hp, Wp = window_geometry((H, W), window)
+    off = window // 2 if shift else window
+    return jnp.pad(xg, ((0, 0), (off, Hp + window - H - off),
+                        (off, Wp - W - off), (0, 0)))
+
+
+def _gather_kernel(idx_ref, x_ref, o_ref):
+    w, C = x_ref.shape[1], x_ref.shape[3]
+    o_ref[0, 0] = x_ref[0].reshape(w * w, C)
+
+
+def _scatter_kernel(idx_ref, x_ref, o_ref):
+    w = o_ref.shape[1]
+    C = o_ref.shape[3]
+    o_ref[0] = x_ref[0, 0].reshape(w, w, C)
+
+
+def _gather_pallas(xg, idx, window):
+    B, Hp2, Wp, C = xg.shape
+    cap = idx.shape[1]
+    w = window
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, cap, w * w, C), xg.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, cap),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, w, w, C),
+                    lambda b, i, idx_ref: (b, idx_ref[b, i, 0],
+                                           idx_ref[b, i, 1], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, w * w, C), lambda b, i, idx_ref: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=_INTERPRET,
+    )(idx, xg)
+    return out
+
+
+def _scatter_pallas(xw, idx, out_shape, window):
+    B, Hp2, Wp, C = out_shape
+    cap = idx.shape[1]
+    w = window
+    out = pl.pallas_call(
+        _scatter_kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, xw.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, cap),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, w * w, C), lambda b, i, idx_ref: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, w, w, C),
+                lambda b, i, idx_ref: (b, idx_ref[b, i, 0],
+                                       idx_ref[b, i, 1], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=_INTERPRET,
+    )(idx, xw)
+    return out
+
+
+def _gather_ref(xg, idx, grid_hw, window, shift):
+    """jnp reference gather (CPU path + tests)."""
+    H, W = grid_hw
+    nwy, nwx, _, _ = window_geometry((H, W), window)
+    xw = window_view(xg, window, shift)  # [B, NW, T, C]
+    zero = jnp.zeros_like(xw[:, :1])
+    xw = jnp.concatenate([xw, zero], axis=1)  # dummy window NW
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], nwy * nwx)
+    return jnp.take_along_axis(xw, flat[..., None, None], axis=1)
+
+
+def _scatter_ref(xw, idx, grid_hw, window, shift):
+    """jnp reference scatter: zeros at unwritten windows."""
+    H, W = grid_hw
+    B, cap, T, C = xw.shape
+    nwy, nwx, _, _ = window_geometry((H, W), window)
+    NW = nwy * nwx
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], NW)
+
+    def one(xwb, fb):
+        return jnp.zeros((NW + 1, T, C), xw.dtype).at[fb].set(
+            xwb, mode='drop')[:NW]
+
+    full = jax.vmap(one)(xw, flat)
+    return window_unview(full, grid_hw, window, shift)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_windows(xg, idx, grid_hw, window: int, shift: bool):
+    """Gather the windows named by ``idx`` from a dense grid:
+    [B, H, W, C] → [B, cap, w*w, C]."""
+    if _use_pallas():
+        return _gather_pallas(_pad_grid(xg, window, shift), idx, window)
+    return _gather_ref(xg, idx, grid_hw, window, shift)
+
+
+def _gather_fwd(xg, idx, grid_hw, window, shift):
+    return gather_windows(xg, idx, grid_hw, window, shift), idx
+
+
+def _gather_bwd(grid_hw, window, shift, idx, g):
+    dx = scatter_windows(g, idx, grid_hw, window, shift)
+    return dx, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_windows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def scatter_windows(xw, idx, grid_hw, window: int, shift: bool):
+    """Inverse of gather_windows: [B, cap, w*w, C] → [B, H, W, C].
+
+    Cells of windows not named by ``idx`` are UNDEFINED (Pallas leaves their
+    output blocks unwritten); the caller must mask with the occupancy grid
+    (which is False everywhere in such windows)."""
+    if _use_pallas():
+        B, cap, T, C = xw.shape
+        H, W = grid_hw
+        nwy, nwx, Hp, Wp = window_geometry((H, W), window)
+        off = window // 2 if shift else window
+        out = _scatter_pallas(xw, idx, (B, Hp + window, Wp, C), window)
+        return out[:, off:off + H, off:off + W, :]
+    return _scatter_ref(xw, idx, grid_hw, window, shift)
+
+
+def _scatter_fwd(xw, idx, grid_hw, window, shift):
+    return scatter_windows(xw, idx, grid_hw, window, shift), idx
+
+
+def _scatter_bwd(grid_hw, window, shift, idx, g):
+    dxw = gather_windows(g, idx, grid_hw, window, shift)
+    return dxw, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+scatter_windows.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+def gather_window_occ(occ: jnp.ndarray, idx, grid_hw, window: int,
+                      shift: bool) -> jnp.ndarray:
+    """Per-slot key/query mask [B, cap, w*w] (float 0/1) for gathered windows.
+    The occupancy ships as 8 identical f32 lanes (lane-dim reshapes are
+    unsupported in Mosaic; 8 lanes keep the tile small)."""
+    occ8 = jnp.broadcast_to(
+        occ[..., None].astype(jnp.float32), (*occ.shape, 8))
+    ow = gather_windows(occ8, idx, grid_hw, window, shift)  # [B, cap, T, 8]
+    return jax.lax.stop_gradient(jnp.max(ow, axis=-1))
+
+
+@flax.struct.dataclass
+class CompactInfo:
+    """Per-(stage, shift) compaction plan: window coords, slot validity, and
+    the gathered occupancy masks (computed once per stage, reused by every
+    encoder layer in it)."""
+
+    idx: jnp.ndarray          # [B, cap, 2] int32
+    valid: jnp.ndarray        # [B, cap] bool
+    qmask: jnp.ndarray        # [B, cap, T] float
+    kmask: jnp.ndarray | None = None  # [B, cap, T] float (cross only)
+
+
+def build_compact_info(occ, window, shift, cap, grid_hw,
+                       kv_occ=None) -> CompactInfo:
+    idx, valid = occupied_window_indices(occ, window, shift, cap)
+    qmask = gather_window_occ(occ, idx, grid_hw, window, shift)
+    kmask = (gather_window_occ(kv_occ, idx, grid_hw, window, shift)
+             if kv_occ is not None else None)
+    return CompactInfo(idx, valid, qmask, kmask)
