@@ -13,44 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
 from tmae_tpu.config import Cfg
 from tmae_tpu.datasets.dataset import build_dataloader
 
-CLASSES = ['Car', 'Bus', 'Truck', 'Pedestrian', 'Cyclist']
-
-
-def make_raw_once(root: Path, n_frames=4):
-    rng = np.random.RandomState(0)
-    seq = '000000'
-    seq_dir = root / 'data' / seq
-    (seq_dir / 'lidar_roof').mkdir(parents=True)
-    (root / 'ImageSets').mkdir()
-    frames = []
-    for fi in range(n_frames):
-        frame_id = f'{1000 + fi}'
-        n = 400
-        pts = np.zeros((n, 4), np.float32)
-        pts[:, 0:2] = rng.uniform(-30, 30, (n, 2))
-        pts[:, 2] = rng.uniform(-1.5, 0.5, n)
-        pts[:, 3] = rng.uniform(0, 1, n)
-        box = np.array([5.0 + 8.0 * fi, 3.0 - 6.0 * fi, -0.5, 4.0, 2.0, 1.6,
-                        0.3], np.float32)
-        # put 30 points inside the box so it survives min-point filters
-        inside = np.zeros((30, 4), np.float32)
-        inside[:, 0:3] = box[:3] + rng.uniform(-0.5, 0.5, (30, 3))
-        inside[:, 3] = 0.5
-        pts = np.vstack([pts, inside])
-        pts.tofile(seq_dir / 'lidar_roof' / f'{frame_id}.bin')
-        frames.append({
-            'frame_id': frame_id,
-            'pose': [0, 0, 0, 1, 0.5 * fi, 0, 0],
-            'annos': {
-                'names': ['Car'],
-                'boxes_3d': [box.tolist()],
-            },
-        })
-    with open(seq_dir / f'{seq}.json', 'w') as f:
-        json.dump({'frames': frames}, f)
-    (root / 'ImageSets' / 'train.txt').write_text(seq + '\n')
-    (root / 'ImageSets' / 'val.txt').write_text(seq + '\n')
-    return root
+from once_fixture import CLASSES, make_raw_once
 
 
 def test_create_infos_and_gt_database(tmp_path):

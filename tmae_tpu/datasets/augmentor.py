@@ -369,6 +369,16 @@ class DataAugmentor:
                 self.queue.append(
                     DataBaseSampler(root_path, cfg, class_names, rng=self.rng)
                 )
+            elif name == 'photo_metric_distortion':
+                from .image_ops import photo_metric_distortion
+
+                def _pmd(d, c=cfg):
+                    if d.get('image') is not None:
+                        d['image'] = photo_metric_distortion(
+                            d['image'], c, self.rng)
+                    return d
+
+                self.queue.append(_pmd)
             else:
                 fn = getattr(WorldTransforms, name)
                 self.queue.append(

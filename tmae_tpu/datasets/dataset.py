@@ -182,6 +182,7 @@ def build_dataloader(dataset_cfg, class_names, batch_size, training,
     name = dataset_cfg.get('DATASET', 'SyntheticONCEDataset')
     from . import once_temporal  # noqa: F401  (registers datasets)
     from . import waymo_temporal  # noqa: F401
+    from . import single_frame  # noqa: F401
     cls = _DATASETS[name]
     ds = cls(dataset_cfg, class_names, training=training,
              root_path=root_path or dataset_cfg.get('DATA_PATH'),

@@ -123,6 +123,34 @@ class ONCETemporalDataset(DatasetTemplate):
         path = self.root / 'data' / seq_id / 'lidar_roof' / f'{frame_id}.bin'
         return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
+    def get_image(self, seq_id, frame_id, cam_name):
+        """ONCE camera frame (<root>/data/<seq>/<cam>/<frame>.jpg) as uint8
+        BGR (the cv2 channel convention the image processors assume)."""
+        from PIL import Image
+
+        path = self.root / 'data' / seq_id / cam_name / f'{frame_id}.jpg'
+        img = np.asarray(Image.open(path).convert('RGB'))[..., ::-1]
+        return np.ascontiguousarray(img)
+
+    def _attach_camera(self, data, info):
+        """Image + calib for the configured camera (dataset CAMERA_CONFIG:
+        {USE_CAMERA, CAM_NAME}). ONCE info calib: cam_to_velo 4x4,
+        cam_intrinsic 3x3 (ONCE devkit schema)."""
+        cam_cfg = self.dataset_cfg.get('CAMERA_CONFIG')
+        if not cam_cfg or not cam_cfg.get('USE_CAMERA', True):
+            return data
+        cam = cam_cfg.get('CAM_NAME', 'cam03')
+        data['image'] = self.get_image(
+            info['sequence_id'], info['frame_id'], cam
+        ).astype(np.float32)
+        calib = info['calib'][cam]
+        c2v = np.asarray(calib['cam_to_velo'], np.float32)
+        data['trans_lidar_to_cam'] = np.linalg.inv(c2v).astype(np.float32)
+        K = np.asarray(calib['cam_intrinsic'], np.float32)
+        data['trans_cam_to_img'] = np.concatenate(
+            [K, np.zeros((3, 1), np.float32)], axis=1)
+        return data
+
     def __len__(self):
         return len(self.once_intervals)
 
@@ -161,6 +189,7 @@ class ONCETemporalDataset(DatasetTemplate):
             'points_prev': points_prev,
             'frame_id': info['frame_id'],
         }
+        data = self._attach_camera(data, info)
         if 'annos' in info:
             data['gt_names'] = np.asarray(info['annos']['name'])
             data['gt_boxes'] = np.asarray(info['annos']['boxes_3d'], np.float32)

@@ -76,6 +76,43 @@ class DataProcessor:
                     if len(pts) > n:
                         idx = self.rng.choice(len(pts), n, replace=False)
                         data[key] = pts[idx]
+            elif name == 'imrescale':
+                from .image_ops import imrescale
+
+                scales = cfg['IMAGE_SCALES']['train' if self.training
+                                             else 'test']
+                img, (ws, hs) = imrescale(
+                    data['image'], scales, cfg.get('KEEP_RATIO', True),
+                    self.rng,
+                )
+                data['image'] = img
+                data['image_rescale_shape'] = img.shape[:2]
+                data.setdefault('transformation_2d_list', []).append(
+                    'imrescale')
+                data.setdefault('transformation_2d_params', {})['imrescale'] \
+                    = (ws, hs)
+            elif name == 'imflip':
+                from .image_ops import imflip
+
+                ratio = cfg['FLIP_RATIO']['train' if self.training else 'test']
+                if self.rng.rand() < ratio:
+                    data['image'] = imflip(data['image'])
+                    data.setdefault('transformation_2d_list', []).append(
+                        'imflip')
+                    data.setdefault('transformation_2d_params', {})['imflip'] \
+                        = (True, data['image'].shape[1])
+            elif name == 'imnormalize':
+                from .image_ops import imnormalize
+
+                data['image'] = imnormalize(
+                    data['image'], cfg['MEAN'], cfg['STD'],
+                    cfg.get('TO_RGB', False),
+                )
+            elif name == 'impad':
+                from .image_ops import impad
+
+                data['image'] = impad(data['image'], cfg['SIZE_DIVISOR'])
+                data['image_pad_shape'] = data['image'].shape[:2]
             elif name in ('calculate_grid_size', 'transform_points_to_voxels'):
                 data['grid_size'] = self.grid_size
                 data['voxel_size'] = self.voxel_size
@@ -209,5 +246,18 @@ def collate_static(samples, max_points, max_gt, max_voxels=None):
         out.update({'voxels': voxels, 'voxel_num_points': vnum,
                     'voxel_coords': vcoords, 'voxel_coords_zyx': vcoords_zyx,
                     'voxel_mask': vmask})
+    # camera inputs (all images must share a shape: imrescale to a single
+    # scale + impad make that deterministic)
+    if 'image' in keys and samples[0].get('image') is not None:
+        out['images'] = np.stack(
+            [s['image'].astype(np.float32) for s in samples])
+        for k in ('trans_lidar_to_cam', 'trans_cam_to_img'):
+            if samples[0].get(k) is not None:
+                out[k] = np.stack([s[k].astype(np.float32) for s in samples])
+    if 'aug_matrix' in keys and samples[0].get('aug_matrix') is not None:
+        out['aug_inverse'] = np.stack([
+            np.linalg.inv(s['aug_matrix']).astype(np.float32)
+            for s in samples
+        ])
     out['frame_id'] = frame_ids
     return out

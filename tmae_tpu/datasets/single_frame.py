@@ -30,6 +30,7 @@ class ONCEDataset(ONCETemporalDataset):
             self.get_lidar(info['sequence_id'], info['frame_id']), 2
         )
         data = {'points': points, 'frame_id': info['frame_id']}
+        data = self._attach_camera(data, info)
         if 'annos' in info:
             data['gt_names'] = np.asarray(info['annos']['name'])
             data['gt_boxes'] = np.asarray(info['annos']['boxes_3d'], np.float32)

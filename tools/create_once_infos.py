@@ -41,6 +41,17 @@ def load_sequence(root: Path, seq_id: str):
     ann = root / 'data' / seq_id / f'{seq_id}.json'
     with open(ann) as f:
         meta = json.load(f)
+    # sequence-level camera calib (ONCE devkit schema: per-cam cam_to_velo
+    # 4x4, cam_intrinsic 3x3, distortion), copied into each frame info
+    calib = {
+        cam: {
+            'cam_to_velo': np.asarray(c['cam_to_velo'], np.float32),
+            'cam_intrinsic': np.asarray(c['cam_intrinsic'], np.float32),
+            'distortion': np.asarray(c.get('distortion', np.zeros(5)),
+                                     np.float32),
+        }
+        for cam, c in meta.get('calib', {}).items()
+    }
     infos = []
     for frame in meta.get('frames', []):
         info = {
@@ -49,6 +60,8 @@ def load_sequence(root: Path, seq_id: str):
             'timestamp': frame.get('timestamp', 0),
             'pose': np.asarray(frame.get('pose', np.zeros(7)), np.float64),
         }
+        if calib:
+            info['calib'] = calib
         if 'annos' in frame:
             annos = frame['annos']
             info['annos'] = {
