@@ -28,8 +28,9 @@ def make_raw_once(root: Path, n_frames=4, with_camera=False, img_hw=(64, 96)):
         pts[:, 0:2] = rng.uniform(-30, 30, (n, 2))
         pts[:, 2] = rng.uniform(-1.5, 0.5, n)
         pts[:, 3] = rng.uniform(0, 1, n)
-        box = np.array([5.0 + 8.0 * fi, 3.0 - 6.0 * fi, -0.5, 4.0, 2.0, 1.6,
-                        0.3], np.float32)
+        # keep boxes inside modest point-cloud ranges for all frame counts
+        box = np.array([5.0 + 8.0 * (fi % 2), 3.0 - 6.0 * (fi % 2), -0.5,
+                        4.0, 2.0, 1.6, 0.3], np.float32)
         # put 30 points inside the box so it survives min-point filters
         inside = np.zeros((30, 4), np.float32)
         inside[:, 0:3] = box[:3] + rng.uniform(-0.5, 0.5, (30, 3))

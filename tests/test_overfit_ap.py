@@ -1,0 +1,211 @@
+"""Slow e2e oracle: raw-ONCE-format disk fixture → pretrain (TMAE) →
+finetune (CenterPoint, transfer from the pretrain ckpt) → eval produces an AP
+table with a non-trivial score on the overfit scene — the closest available
+analog of the reference's released-checkpoint reproduction flow
+(once_test.sh), exercised through the real CLI chain (VERDICT r1, item 6)."""
+
+import json
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tools'))
+
+from once_fixture import make_raw_once
+
+REPO = Path(__file__).resolve().parent.parent
+
+BASE = {
+    'CLASS_NAMES': ['Car', 'Bus', 'Truck', 'Pedestrian', 'Cyclist'],
+    'DATA_CONFIG': {
+        '_BASE_CONFIG_': 'cfgs/dataset_configs/once_temporal_dataset.yaml',
+        'DATASET': 'ONCETemporalDataset',
+        'POINT_CLOUD_RANGE': [-20.48, -20.48, -5.0, 20.48, 20.48, 3.0],
+        'SCAN_WINDOW': 3,
+        'ALIGN_TWO_FRAMES': True,
+        'DATA_AUGMENTOR': {
+            'DISABLE_AUG_LIST': ['placeholder'],
+            'AUG_CONFIG_LIST': [
+                {'NAME': 'random_world_flip', 'PROBABILITY': 0.0,
+                 'ALONG_AXIS_LIST': ['x']},
+            ],
+        },
+        'DATA_PROCESSOR': [
+            {'NAME': 'mask_points_and_boxes_outside_range',
+             'REMOVE_OUTSIDE_BOXES': True},
+            {'NAME': 'calculate_grid_size', 'VOXEL_SIZE': [0.64, 0.64, 8.0]},
+        ],
+    },
+    'RUNTIME': {'MAX_POINTS': 1024, 'MAX_VOXELS': [512, 256, 128],
+                'MAX_GT': 8, 'OCC_WINDOW_CAPS': [32, 16, 16]},
+    'OPTIMIZATION': {
+        'OPTIMIZER': 'adam_onecycle', 'LR': 0.003, 'WEIGHT_DECAY': 0.01,
+        'MOMENTUM': 0.9, 'MOMS': [0.95, 0.85], 'PCT_START': 0.4,
+        'DIV_FACTOR': 10, 'DECAY_STEP_LIST': [35, 45], 'LR_DECAY': 0.1,
+        'GRAD_NORM_CLIP': 10, 'BATCH_SIZE_PER_GPU': 2, 'NUM_EPOCHS': 1,
+    },
+}
+
+
+def _mini_model(mae: bool):
+    sst_block = lambda ds: {
+        'NAME': 'SSTBlockV1',
+        'PREPROCESS': {'WINDOW_SHAPE': [8, 8, 1], 'DROP_INFO': {
+            'train': {'0': {'max_tokens': 64, 'drop_range': [0, 100000]}},
+            'test': {'0': {'max_tokens': 64, 'drop_range': [0, 100000]}}}},
+        'ENCODER': {'NUM_BLOCKS': 1, 'STRIDE': ds, 'D_MODEL': 128,
+                    'NHEAD': 8, 'DIM_FEEDFORWARD': 256,
+                    'ACTIVATION': 'gelu',
+                    'LAYER_CFG': {'cosine': True, 'tau_min': 0.01}},
+    }
+    backbone = {
+        'NAME': 'SiamWCA_MAE' if mae else 'SiamWCA',
+        'SST_BLOCK_LIST': [sst_block(1), sst_block(2), sst_block(2)],
+        'FEATURES_SOURCE': ['x_conv1', 'x_conv2', 'x_conv3'],
+        'FUSE_LAYER': {
+            'x_conv1': {'UPSAMPLE_STRIDE': 1, 'NUM_FILTER': 128,
+                        'NUM_UPSAMPLE_FILTER': 64},
+            'x_conv2': {'UPSAMPLE_STRIDE': 2, 'NUM_FILTER': 128,
+                        'NUM_UPSAMPLE_FILTER': 64},
+            'x_conv3': {'UPSAMPLE_STRIDE': 4, 'NUM_FILTER': 128,
+                        'NUM_UPSAMPLE_FILTER': 64},
+        },
+    }
+    if mae:
+        backbone['MASK_CONFIG'] = {'RATIO': 0.75, 'NUM_PRD_POINTS': 8,
+                                   'NUM_GT_POINTS': 16}
+        return {
+            'NAME': 'TMAE',
+            'VFE': {'NAME': 'TemporalDynVFE', 'MLPS': [[64], [128]],
+                    'USE_ABSLOTE_XYZ': True, 'USE_CLUSTER_XYZ': True,
+                    'WITH_DISTANCE': False},
+            'BACKBONE_3D': backbone,
+        }
+    return {
+        'NAME': 'CenterPoint',
+        'VFE': {'NAME': 'TemporalDynVFE', 'MLPS': [[64], [128]],
+                'USE_ABSLOTE_XYZ': True, 'USE_CLUSTER_XYZ': True,
+                'WITH_DISTANCE': False},
+        'BACKBONE_3D': backbone,
+        'BACKBONE_2D': {'NAME': 'SSTBEVBackbone', 'NUM_FILTER': 64,
+                        'CONV_KWARGS': [
+                            {'out_channels': 64, 'kernel_size': 3,
+                             'dilation': 1, 'padding': 1, 'stride': 1},
+                            {'out_channels': 64, 'kernel_size': 3,
+                             'dilation': 1, 'padding': 1, 'stride': 1},
+                        ],
+                        'CONV_SHORTCUT': [0]},
+        'DENSE_HEAD': {
+            'NAME': 'CenterHead',
+            'CLASS_NAMES_EACH_HEAD': [
+                ['Car', 'Bus', 'Truck', 'Pedestrian', 'Cyclist']],
+            'SHARED_CONV_CHANNEL': 64,
+            'USE_BIAS_BEFORE_NORM': True,
+            'NUM_HM_CONV': 2,
+            'SEPARATE_HEAD_CFG': {
+                'HEAD_ORDER': ['center', 'center_z', 'dim', 'rot'],
+                'HEAD_DICT': {
+                    'center': {'out_channels': 2, 'num_conv': 2},
+                    'center_z': {'out_channels': 1, 'num_conv': 2},
+                    'dim': {'out_channels': 3, 'num_conv': 2},
+                    'rot': {'out_channels': 2, 'num_conv': 2},
+                },
+            },
+            'TARGET_ASSIGNER_CONFIG': {
+                'FEATURE_MAP_STRIDE': 1, 'NUM_MAX_OBJS': 8,
+                'GAUSSIAN_OVERLAP': 0.1, 'MIN_RADIUS': 2,
+            },
+            'LOSS_CONFIG': {'LOSS_WEIGHTS': {
+                'cls_weight': 1.0, 'loc_weight': 2.0,
+                'code_weights': [1.0] * 8}},
+            'POST_PROCESSING': {
+                'SCORE_THRESH': 0.01, 'POST_CENTER_LIMIT_RANGE':
+                    [-25, -25, -10, 25, 25, 10],
+                'MAX_OBJ_PER_SAMPLE': 16,
+                'NMS_CONFIG': {'NMS_TYPE': 'nms_gpu', 'NMS_THRESH': 0.2,
+                               'NMS_PRE_MAXSIZE': 64,
+                               'NMS_POST_MAXSIZE': 16},
+            },
+        },
+    }
+
+
+def _write_cfg(tmp, name, mae, root, epochs):
+    import yaml
+
+    cfg = json.loads(json.dumps(BASE))  # deep copy
+    cfg['DATA_CONFIG']['DATA_PATH'] = str(root)
+    cfg['MODEL'] = _mini_model(mae)
+    cfg['OPTIMIZATION']['NUM_EPOCHS'] = epochs
+    path = tmp / f'{name}.yaml'
+    path.write_text(yaml.safe_dump(cfg))
+    return path
+
+
+def _run(args):
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    r = subprocess.run([sys.executable] + args, cwd=str(REPO), env=env,
+                       capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    return r
+
+
+@pytest.mark.slow
+def test_pretrain_finetune_eval_overfit(tmp_path):
+    import create_once_infos as coi
+
+    root = make_raw_once(tmp_path / 'once', n_frames=6)
+    root = Path(root)
+    coi.create_infos(root, 'train')
+    coi.create_infos(root, 'val')
+
+    ssl_cfg = _write_cfg(tmp_path, 'overfit_ssl', True, root, epochs=2)
+    ft_cfg = _write_cfg(tmp_path, 'overfit_ft', False, root, epochs=40)
+    out_root = REPO / 'output'
+
+    _run(['tools/train.py', '--cfg_file', str(ssl_cfg),
+          '--extra_tag', 'overfit_test'])
+    ssl_ckpts = sorted((out_root / tmp_path.name / 'overfit_ssl'
+                        / 'overfit_test' / 'ckpt').glob('checkpoint_*'))
+    assert ssl_ckpts, 'pretrain produced no checkpoint'
+
+    _run(['tools/train.py', '--cfg_file', str(ft_cfg),
+          '--extra_tag', 'overfit_test',
+          '--pretrained_model', str(ssl_ckpts[-1])])
+    ft_dir = out_root / tmp_path.name / 'overfit_ft' / 'overfit_test'
+    ft_ckpts = sorted((ft_dir / 'ckpt').glob('checkpoint_*'),
+                      key=lambda p: int(p.name.split('_')[1]))
+    assert ft_ckpts, 'finetune produced no checkpoint'
+
+    _run(['tools/test.py', '--cfg_file', str(ft_cfg),
+          '--extra_tag', 'overfit_test', '--ckpt', str(ft_ckpts[-1])])
+    result = ft_dir / 'eval' / 'single' / 'result.pkl'
+    assert result.exists()
+    with open(result, 'rb') as f:
+        dets = pickle.load(f)
+    assert len(dets) == 2  # 6 frames / window 3
+    # overfit on a static Car scene: the eval server scores it
+    eval_dir = ft_dir / 'eval' / 'single'
+    ap_files = list(eval_dir.glob('*.json')) + list(eval_dir.glob('*.txt'))
+    scores = np.concatenate([np.asarray(d['score']) for d in dets])
+    assert len(scores) > 0 and float(scores.max()) > 0.3, (
+        f'overfit gave weak detections (max score {scores.max():.3f}); '
+        f'aux files: {ap_files}'
+    )
+    # AP from the dataset's own eval server over the produced detections
+    from tmae_tpu.datasets.once_eval import get_evaluation_results
+
+    infos = pickle.loads((root / 'once_infos_val.pkl').read_bytes())
+    gt = [i['annos'] for i in infos[2::3]]  # last frame of each interval
+    res_str, res_dict = get_evaluation_results(
+        gt, dets, BASE['CLASS_NAMES'])
+    vehicle_ap = max(v for k, v in res_dict.items() if 'Vehicle' in k)
+    assert vehicle_ap > 30.0, (vehicle_ap, res_str)

@@ -65,13 +65,14 @@ def test_gradients_match_reference():
 
     g1 = jax.grad(loss_fused, argnums=(0, 1))(args[0], args[16])
     g2 = jax.grad(loss_ref, argnums=(0, 1))(args[0], args[16])
-    # the fused forward runs its attention matmuls in bf16 (AMP-class
-    # numerics), so the cotangent fed to the backward differs from the f32
-    # reference at bf16 resolution — tolerance sized accordingly
+    # fused forward AND backward run their matmuls in bf16 (AMP-class
+    # numerics, matching the reference's fp16 training); the f32 reference
+    # differs at bf16 resolution — tolerance sized accordingly (structural
+    # gradient errors show up as O(1) relative error)
     for a, b in zip(g1, g2):
         scale = np.abs(np.asarray(b)).max() + 1e-6
         err = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
-        assert err < 2e-2, err
+        assert err < 5e-2, err
 
 
 def test_dense_encoder_layer_module_cpu_path():

@@ -495,6 +495,17 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
     W, T, C = x_ref.shape
     H, D = nhead, C // nhead
     f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    def dotb(a, b, dims=None):
+        """Matmul with bf16 inputs + f32 accumulation — the reference trains
+        these layers under fp16 AMP; bf16 operands run the MXU at ~4x the f32
+        rate. Gradient accumulators stay f32."""
+        a = a.astype(bf)
+        b = b.astype(bf)
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=f32)
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=f32)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -516,13 +527,10 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
 
     # ---- forward recompute (all f32, VMEM-resident) ----
     xp = (x + pos[None]).reshape(W * T, C)
-    q = jnp.dot(xp, wq_ref[:].astype(f32),
-                preferred_element_type=f32) + bq_ref[0]
+    q = dotb(xp, wq_ref[:]) + bq_ref[0]
     kvp = (kv + pos[None]).reshape(W * T, C) if cross else xp
-    k = jnp.dot(kvp, wk_ref[:].astype(f32),
-                preferred_element_type=f32) + bk_ref[0]
-    v = jnp.dot(kv.reshape(W * T, C), wv_ref[:].astype(f32),
-                preferred_element_type=f32) + bv_ref[0]
+    k = dotb(kvp, wk_ref[:]) + bk_ref[0]
+    v = dotb(kv.reshape(W * T, C), wv_ref[:]) + bv_ref[0]
     q3 = q.reshape(W, T, C)
     k3 = k.reshape(W, T, C)
     v3 = v.reshape(W, T, C)
@@ -535,9 +543,7 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
 
         def head_attn(h):
             mh = _head_mask(h, D, C)
-            dots = jax.lax.dot_general(
-                qn * mh, kn, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32)
+            dots = dotb(qn * mh, kn, (((2,), (2,)), ((0,), (0,))))
             logits = jnp.where(km[:, None, :] > 0, dots * scale, -30000.0)
             p_z = jnp.where(has_key, jax.nn.softmax(logits, axis=-1), 0.0)
             return mh, p_z, dots
@@ -547,9 +553,8 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
         for h in range(H):
             head = head_attn(h)
             cache.append(head)
-            a_acc = a_acc + jax.lax.dot_general(
-                head[1], v3 * head[0], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
+            a_acc = a_acc + dotb(head[1], v3 * head[0],
+                                 (((2,), (1,)), ((0,), (0,))))
         a = a_acc.reshape(W * T, C)
         del a_acc
     else:
@@ -561,27 +566,21 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
             rq = jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24)
             rk = jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24)
             qnh, knh = qh * rq, kh * rk
-            dots = jax.lax.dot_general(
-                qnh, knh, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32)
+            dots = dotb(qnh, knh, (((2,), (2,)), ((0,), (0,))))
             logits = jnp.where(km[:, None, :] > 0, dots * scale, -30000.0)
             p_z = jnp.where(has_key, jax.nn.softmax(logits, axis=-1), 0.0)
             cache.append((qnh, knh, rq, rk, p_z, dots))
-            a_heads.append(jax.lax.dot_general(
-                p_z, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32))
+            a_heads.append(dotb(p_z, v3[:, :, sl],
+                                (((2,), (1,)), ((0,), (0,)))))
         a = jnp.concatenate(a_heads, axis=-1).reshape(W * T, C)
         del a_heads
-    attn = jnp.dot(a, wo_ref[:].astype(f32),
-                   preferred_element_type=f32) + bo_ref[0]
+    attn = dotb(a, wo_ref[:]) + bo_ref[0]
     z1 = x + jnp.where(qm3, attn.reshape(W, T, C), 0.0)
     x1hat, inv1 = _ln_fwd_stats(z1)
     h1 = jnp.where(qm3, x1hat * ln1s_ref[0] + ln1b_ref[0], 0.0)
-    ff1 = jnp.dot(h1.reshape(W * T, C), f1w_ref[:].astype(f32),
-                  preferred_element_type=f32) + f1b_ref[0]
+    ff1 = dotb(h1.reshape(W * T, C), f1w_ref[:]) + f1b_ref[0]
     gg = _gelu_exact(ff1)
-    ff2 = jnp.dot(gg, f2w_ref[:].astype(f32),
-                  preferred_element_type=f32) + f2b_ref[0]
+    ff2 = dotb(gg, f2w_ref[:]) + f2b_ref[0]
     z2 = h1 + ff2.reshape(W, T, C)
     x2hat, inv2 = _ln_fwd_stats(z2)
 
@@ -592,15 +591,14 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
     dz2 = _ln_bwd(g_out, x2hat, inv2, ln2s_ref[0])
 
     dff2 = dz2.reshape(W * T, C)
-    df2w_ref[:] += jnp.dot(gg.T, dff2, preferred_element_type=f32)
+    df2w_ref[:] += dotb(gg.T, dff2)
     df2b_ref[0] += jnp.sum(dff2, axis=0)
-    dgg = jnp.dot(dff2, f2w_ref[:].astype(f32).T, preferred_element_type=f32)
+    dgg = dotb(dff2, f2w_ref[:].T)
     dff1 = dgg * _gelu_grad(ff1)
     h1f = h1.reshape(W * T, C)
-    df1w_ref[:] += jnp.dot(h1f.T, dff1, preferred_element_type=f32)
+    df1w_ref[:] += dotb(h1f.T, dff1)
     df1b_ref[0] += jnp.sum(dff1, axis=0)
-    dh1 = dz2 + jnp.dot(dff1, f1w_ref[:].astype(f32).T,
-                        preferred_element_type=f32).reshape(W, T, C)
+    dh1 = dz2 + dotb(dff1, f1w_ref[:].T).reshape(W, T, C)
     dh1 = jnp.where(qm3, dh1, 0.0)
 
     dln1s_ref[0] += jnp.sum((dh1 * x1hat).reshape(W * T, C), axis=0)
@@ -609,10 +607,9 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
 
     dx_total = dz1                                  # d wrt residual x
     dattn = jnp.where(qm3, dz1, 0.0).reshape(W * T, C)
-    dwo_ref[:] += jnp.dot(a.T, dattn, preferred_element_type=f32)
+    dwo_ref[:] += dotb(a.T, dattn)
     dbo_ref[0] += jnp.sum(dattn, axis=0)
-    da = jnp.dot(dattn, wo_ref[:].astype(f32).T,
-                 preferred_element_type=f32).reshape(W, T, C)
+    da = dotb(dattn, wo_ref[:].T).reshape(W, T, C)
 
     dtau_acc = jnp.zeros((), f32)
     if masked_heads:
@@ -622,20 +619,14 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
         for h in range(H):
             mh, p_z, dots = cache[h]
             dah = da * mh                               # full width, no slice
-            dp = jax.lax.dot_general(
-                dah, v3 * mh, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32)             # [W, T, S]
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p_z, dah, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)             # lanes masked via dah
+            dp = dotb(dah, v3 * mh, (((2,), (2,)), ((0,), (0,))))  # [W, T, S]
+            dv_acc = dv_acc + dotb(p_z, dah, (((1,), (1,)), ((0,), (0,))))
             ds = p_z * (dp - jnp.sum(dp * p_z, axis=-1, keepdims=True))
             dtau_acc += jnp.sum(ds * dots)
-            dqn_acc = dqn_acc + scale * jax.lax.dot_general(
-                ds, kn * mh, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
-            dkn_acc = dkn_acc + scale * jax.lax.dot_general(
-                ds, qn * mh, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
+            dqn_acc = dqn_acc + scale * dotb(
+                ds, kn * mh, (((2,), (1,)), ((0,), (0,))))
+            dkn_acc = dkn_acc + scale * dotb(
+                ds, qn * mh, (((1,), (1,)), ((0,), (0,))))
         # normalization backward with per-head lane sums (no slicing)
         dq = (rql * (dqn_acc - qn * _headwise_lane_sum(
             dqn_acc * qn, mask_mat, mask_mat_t))).reshape(W * T, C)
@@ -648,20 +639,12 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
             sl = slice(h * D, (h + 1) * D)
             qnh, knh, rq, rk, p_z, dots = cache[h]
             dah = da[:, :, sl]
-            dp = jax.lax.dot_general(
-                dah, v3[:, :, sl], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=f32)
-            dv3.append(jax.lax.dot_general(
-                p_z, dah, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32))
+            dp = dotb(dah, v3[:, :, sl], (((2,), (2,)), ((0,), (0,))))
+            dv3.append(dotb(p_z, dah, (((1,), (1,)), ((0,), (0,)))))
             ds = p_z * (dp - jnp.sum(dp * p_z, axis=-1, keepdims=True))
             dtau_acc += jnp.sum(ds * dots)
-            dqn = scale * jax.lax.dot_general(
-                ds, knh, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
-            dkn = scale * jax.lax.dot_general(
-                ds, qnh, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=f32)
+            dqn = scale * dotb(ds, knh, (((2,), (1,)), ((0,), (0,))))
+            dkn = scale * dotb(ds, qnh, (((1,), (1,)), ((0,), (0,))))
             dq3.append(rq * (dqn - qnh * jnp.sum(dqn * qnh, -1,
                                                  keepdims=True)))
             dk3.append(rk * (dkn - knh * jnp.sum(dkn * knh, -1,
@@ -673,21 +656,17 @@ def _bwd_kernel(x_ref, kv_ref, qmask_ref, kmask_ref, pos_ref,
     dtau_ref[:] += jnp.where(tau > tau_min,
                              -dtau_acc / (tau * tau), 0.0).reshape(1, 1)
 
-    dwv_ref[:] += jnp.dot(kv.reshape(W * T, C).T, dv,
-                          preferred_element_type=f32)
+    dwv_ref[:] += dotb(kv.reshape(W * T, C).T, dv)
     dbv_ref[0] += jnp.sum(dv, axis=0)
-    dkv_total = jnp.dot(dv, wv_ref[:].astype(f32).T,
-                        preferred_element_type=f32).reshape(W, T, C)
+    dkv_total = dotb(dv, wv_ref[:].T).reshape(W, T, C)
 
-    dwq_ref[:] += jnp.dot(xp.T, dq, preferred_element_type=f32)
+    dwq_ref[:] += dotb(xp.T, dq)
     dbq_ref[0] += jnp.sum(dq, axis=0)
-    dxp = jnp.dot(dq, wq_ref[:].astype(f32).T,
-                  preferred_element_type=f32).reshape(W, T, C)
+    dxp = dotb(dq, wq_ref[:].T).reshape(W, T, C)
 
-    dwk_ref[:] += jnp.dot(kvp.T, dk, preferred_element_type=f32)
+    dwk_ref[:] += dotb(kvp.T, dk)
     dbk_ref[0] += jnp.sum(dk, axis=0)
-    dkvp = jnp.dot(dk, wk_ref[:].astype(f32).T,
-                   preferred_element_type=f32).reshape(W, T, C)
+    dkvp = dotb(dk, wk_ref[:].T).reshape(W, T, C)
 
     if cross:
         dx_total = dx_total + dxp
