@@ -85,15 +85,20 @@ def child():
     )(jax.random.PRNGKey(0), dev_batch)
     note('params ready')
 
+    # BENCH_NMS=host moves rotated NMS to the C++ host path (device is the
+    # default: no host round-trip inside the timed loop; equivalence of the
+    # two paths is covered by tests/test_nms_device_host.py)
+    nms_device = os.environ.get('BENCH_NMS', 'device') != 'host'
+
     @jax.jit
     def infer(variables, b):
         out = model.apply(variables, b, train=False)
-        # decode on device; rotated NMS runs on host (C++ host-ops)
-        return centerpoint_predict(cfg, out, nms_on_device=False)
+        return centerpoint_predict(cfg, out, nms_on_device=nms_device)
 
     def full_infer(b):
         boxes, scores, labels, valid = jax.device_get(infer(variables, b))
-        valid = host_nms(cfg, boxes, scores, labels, valid)
+        if not nms_device:
+            valid = host_nms(cfg, boxes, scores, labels, valid)
         return valid
 
     # warmup / compile (includes the host-NMS library build)
