@@ -128,6 +128,7 @@ def test_once_camera_loading_and_collate(tmp_path):
     assert uvw[2] > 0 and 0 <= u <= 96 and 0 <= v <= 64
 
 
+@pytest.mark.slow
 def test_graph_rcnn_consumes_dataset_images(tmp_path):
     """File-backed e2e: raw ONCE tree with camera → infos → dataset/collate →
     GraphRCNN forward with DLASeg image branch."""

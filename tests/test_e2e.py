@@ -40,6 +40,7 @@ def _data_cfg():
     })
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('mae', [False, True])
 def test_train_loop_loss_decreases(mae):
     cfg = tiny_cfg(mae=mae)
@@ -102,6 +103,7 @@ def test_eval_pipeline_produces_ap():
     assert np.isfinite(ap_dict['AP_mean/overall'])
 
 
+@pytest.mark.slow
 def test_graft_entry_and_multichip_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()

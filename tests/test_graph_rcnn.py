@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmae_tpu.models.roi_head import (
     assign_roi_targets, decode_rcnn_boxes, encode_local_residuals,
@@ -46,6 +47,7 @@ def test_proposal_layer():
     assert np.all(np.asarray(labels)[m] >= 1)
 
 
+@pytest.mark.slow
 def test_roi_targets_and_loss():
     rng = np.random.RandomState(1)
     rois = np.zeros((1, 16, 7), np.float32)
@@ -128,6 +130,7 @@ def test_deform_conv2d_matches_plain_conv_at_zero_offset():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_graph_rcnn_end_to_end():
     from tmae_tpu.config import Cfg
     from tmae_tpu.models.graph_rcnn import (

@@ -35,6 +35,7 @@ def test_centerpoint_forward_eval(cp_setup):
     assert lab.min() >= 1 and lab.max() <= 5
 
 
+@pytest.mark.slow
 def test_centerpoint_train_loss_and_grad(cp_setup):
     cfg, model, batch, variables = cp_setup
 

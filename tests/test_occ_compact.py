@@ -159,6 +159,7 @@ def test_compact_cap_overflow_drops_windows_but_stays_finite():
     assert np.isfinite(np.asarray(out.x)).all()
 
 
+@pytest.mark.slow
 def test_sstblock_with_cap_matches_without():
     from tmae_tpu.models.sst import SSTBlock, DenseGrid
 

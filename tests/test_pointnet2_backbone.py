@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmae_tpu.config import Cfg
 from tmae_tpu.models.pointnet2_backbone import (
@@ -8,6 +9,7 @@ from tmae_tpu.models.pointnet2_backbone import (
 )
 
 
+@pytest.mark.slow
 def test_pointnet2_backbone_forward():
     cfg = Cfg.from_dict({
         'SA_CONFIG': {

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmae_tpu.config import Cfg
 from tmae_tpu.datasets.dataset import build_dataloader
@@ -66,6 +67,7 @@ def _cfg():
     })
 
 
+@pytest.mark.slow
 def test_pointpillar_forward_and_loss():
     cfg = _cfg()
     ds, loader = build_dataloader(

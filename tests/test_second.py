@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmae_tpu.config import Cfg
 from tmae_tpu.datasets.dataset import build_dataloader
@@ -79,6 +80,7 @@ def test_downsample_coords_3d():
     assert got == expect, got
 
 
+@pytest.mark.slow
 def test_second_net_forward():
     cfg = Cfg.from_dict({
         'CLASS_NAMES': CLASS_NAMES,

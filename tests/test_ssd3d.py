@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tmae_tpu.config import Cfg
 from tmae_tpu.models.ssd3d import SSD3D, ssd3d_loss, ssd3d_predict
@@ -103,6 +104,7 @@ def test_bin_coder_roundtrip():
                       -2.9 % (2 * np.pi), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_ssd3d_forward_loss_predict():
     cfg = make_cfg()
     batch = make_batch(np.random.RandomState(0))

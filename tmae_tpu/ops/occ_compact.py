@@ -88,12 +88,12 @@ def _pad_grid(xg, window, shift):
                         (off, Wp - W - off), (0, 0)))
 
 
-def _gather_kernel(idx_ref, x_ref, o_ref):
+def _gather_kernel(wy_ref, wx_ref, x_ref, o_ref):
     w, C = x_ref.shape[1], x_ref.shape[3]
     o_ref[0, 0] = x_ref[0].reshape(w * w, C)
 
 
-def _scatter_kernel(idx_ref, x_ref, o_ref):
+def _scatter_kernel(wy_ref, wx_ref, x_ref, o_ref):
     w = o_ref.shape[1]
     C = o_ref.shape[3]
     o_ref[0] = x_ref[0, 0].reshape(w, w, C)
@@ -103,27 +103,31 @@ def _gather_pallas(xg, idx, window):
     B, Hp2, Wp, C = xg.shape
     cap = idx.shape[1]
     w = window
+    # scalar-prefetch arrays live in SMEM with lane padding on the minor
+    # dim — ship (wy, wx) as two [B, cap] arrays, not one [B, cap, 2]
+    # (whose minor dim pads 2 -> 128 and overflows the 1 MB SMEM)
+    wy, wx = idx[..., 0], idx[..., 1]
     out = pl.pallas_call(
         _gather_kernel,
         out_shape=jax.ShapeDtypeStruct((B, cap, w * w, C), xg.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, cap),
             in_specs=[
                 pl.BlockSpec(
                     (1, w, w, C),
-                    lambda b, i, idx_ref: (b, idx_ref[b, i, 0],
-                                           idx_ref[b, i, 1], 0),
+                    lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i],
+                                                  wx_ref[b, i], 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, w * w, C), lambda b, i, idx_ref: (b, i, 0, 0),
+                (1, 1, w * w, C), lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         interpret=_INTERPRET,
-    )(idx, xg)
+    )(wy, wx, xg)
     return out
 
 
@@ -131,27 +135,29 @@ def _scatter_pallas(xw, idx, out_shape, window):
     B, Hp2, Wp, C = out_shape
     cap = idx.shape[1]
     w = window
+    wy, wx = idx[..., 0], idx[..., 1]
     out = pl.pallas_call(
         _scatter_kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, xw.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(B, cap),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, w * w, C), lambda b, i, idx_ref: (b, i, 0, 0),
+                    (1, 1, w * w, C),
+                    lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
                 (1, w, w, C),
-                lambda b, i, idx_ref: (b, idx_ref[b, i, 0],
-                                       idx_ref[b, i, 1], 0),
+                lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i],
+                                              wx_ref[b, i], 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         interpret=_INTERPRET,
-    )(idx, xw)
+    )(wy, wx, xw)
     return out
 
 
