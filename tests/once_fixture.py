@@ -28,9 +28,11 @@ def make_raw_once(root: Path, n_frames=4, with_camera=False, img_hw=(64, 96)):
         pts[:, 0:2] = rng.uniform(-30, 30, (n, 2))
         pts[:, 2] = rng.uniform(-1.5, 0.5, n)
         pts[:, 3] = rng.uniform(0, 1, n)
-        # keep boxes inside modest point-cloud ranges for all frame counts
-        box = np.array([5.0 + 8.0 * (fi % 2), 3.0 - 6.0 * (fi % 2), -0.5,
-                        4.0, 2.0, 1.6, 0.3], np.float32)
+        # distinct per-frame positions on a 12 m circle: bounded for any
+        # frame count, and non-overlapping so gt-sampler collision checks
+        # don't reject pasted objects
+        box = np.array([12.0 * np.cos(fi * 2.4), 12.0 * np.sin(fi * 2.4),
+                        -0.5, 4.0, 2.0, 1.6, 0.3], np.float32)
         # put 30 points inside the box so it survives min-point filters
         inside = np.zeros((30, 4), np.float32)
         inside[:, 0:3] = box[:3] + rng.uniform(-0.5, 0.5, (30, 3))
