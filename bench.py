@@ -85,10 +85,12 @@ def child():
     )(jax.random.PRNGKey(0), dev_batch)
     note('params ready')
 
-    # BENCH_NMS=host moves rotated NMS to the C++ host path (device is the
-    # default: no host round-trip inside the timed loop; equivalence of the
-    # two paths is covered by tests/test_nms_device_host.py)
-    nms_device = os.environ.get('BENCH_NMS', 'device') != 'host'
+    # BENCH_NMS=device keeps rotated NMS on device. Host is the default:
+    # the K=500 candidates ship to the host anyway (they ARE the result), the
+    # C++ NMS costs ~0.1 ms there, while the device rotated-IoU matrix
+    # currently costs ~300 ms (measured; a Pallas IoU kernel is the known
+    # gap). Equivalence of the two paths: tests/test_nms_device_host.py.
+    nms_device = os.environ.get('BENCH_NMS', 'host') == 'device'
 
     @jax.jit
     def infer(variables, b):

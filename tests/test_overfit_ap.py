@@ -152,6 +152,9 @@ def _run(args):
 
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     env.pop('PALLAS_AXON_POOL_IPS', None)
+    # conftest exports XLA_FLAGS with an 8-virtual-device count for sharding
+    # tests; here it would multiply the global batch past the fixture size
+    env.pop('XLA_FLAGS', None)
     r = subprocess.run([sys.executable] + args, cwd=str(REPO), env=env,
                        capture_output=True, text=True, timeout=2400)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
@@ -168,7 +171,7 @@ def test_pretrain_finetune_eval_overfit(tmp_path):
     coi.create_infos(root, 'val')
 
     ssl_cfg = _write_cfg(tmp_path, 'overfit_ssl', True, root, epochs=2)
-    ft_cfg = _write_cfg(tmp_path, 'overfit_ft', False, root, epochs=40)
+    ft_cfg = _write_cfg(tmp_path, 'overfit_ft', False, root, epochs=250)
     out_root = REPO / 'output'
 
     _run(['tools/train.py', '--cfg_file', str(ssl_cfg),

@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Stage-level timing of the full-size T-MAE finetune forward on the attached
-accelerator. Each stage is jitted separately, fed the previous stage's real
-device outputs, and returns a single scalar so the axon relay ships no bulk
-results (each call then costs compute + one RTT; an empty jit call measures
-the RTT to subtract)."""
+accelerator.
+
+Timing method: each stage runs inside ONE jitted ``lax.scan`` (16 vs 48
+iterations; per-iteration time = slope between the two), with a loop-carried
+perturbation of one input leaf so XLA cannot hoist the body. This cancels the
+relay round-trip and dispatch overheads that drown per-stage costs when timing
+individual calls (the axon RTT is ~25 ms; stages are 1-20 ms)."""
 
 from __future__ import annotations
 
@@ -13,17 +16,6 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
-
-
-def timed(fn, *args, reps=10):
-    vals = []
-    fn(*args)  # warmup/compile
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        vals.append(time.perf_counter() - t0)
-    vals.sort()
-    return vals[len(vals) // 2]
 
 
 def main():
@@ -57,33 +49,49 @@ def main():
     spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
     nx, ny, _ = spec.grid_size
     mcfg = cfg.MODEL
+    caps = tuple(int(v) for v in cfg.RUNTIME.get('OCC_WINDOW_CAPS', ()))
 
-    # RTT baseline
-    rtt = timed(jax.jit(lambda: jnp.float32(0.0)))
-    print(f'rtt           {rtt * 1e3:8.2f} ms', flush=True)
+    def scan_time(name, stage_scalar_fn, reps_pair=(16, 48)):
+        """stage_scalar_fn(c: f32 scalar) -> f32 scalar; must consume c."""
+        times = []
+        for reps in reps_pair:
+            @jax.jit
+            def loop():
+                def body(c, _):
+                    return stage_scalar_fn(c) * 1e-30, None
+                out, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), None, length=reps)
+                return out
+            _ = jax.device_get(loop())
+            t0 = time.perf_counter()
+            _ = jax.device_get(loop())
+            times.append(time.perf_counter() - t0)
+        dt = (times[1] - times[0]) / (reps_pair[1] - reps_pair[0]) * 1e3
+        print(f'{name:14s}{dt:8.2f} ms', flush=True)
+        return dt
 
     # full model
     model = build_detector(cfg)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), dev)
 
-    @jax.jit
-    def f_full(b):
+    def f_full(c):
+        b = dict(dev, points=dev['points'] + c * 1e-30)
         out = model.apply(variables, b, train=False)
-        return sum(jnp.sum(p['hm']) for p in out['pred_dicts'])
+        return sum(jnp.sum(p['hm'].astype(jnp.float32))
+                   for p in out['pred_dicts'])
 
-    t_full = timed(f_full, dev)
-    print(f'full forward  {t_full * 1e3:8.2f} ms', flush=True)
+    t_full = scan_time('full forward', f_full, reps_pair=(8, 24))
 
-    @jax.jit
-    def f_full_decode(b):
+    def f_full_decode(c):
+        b = dict(dev, points=dev['points'] + c * 1e-30)
         out = model.apply(variables, b, train=False)
         boxes, scores, labels, valid = centerpoint_predict(
             cfg, out, nms_on_device=False)
         return jnp.sum(scores)
 
-    t_fd = timed(f_full_decode, dev)
-    print(f'full + decode {t_fd * 1e3:8.2f} ms (decode ~{(t_fd - t_full) * 1e3:.2f})', flush=True)
+    t_fd = scan_time('full + decode', f_full_decode, reps_pair=(8, 24))
+    print(f'   (decode ~{t_fd - t_full:.2f} ms)', flush=True)
 
     # stage: VFE
     vfe_cfg = mcfg.VFE
@@ -97,16 +105,15 @@ def main():
         r, dev['points'], dev['point_mask'], dev['points_prev'],
         dev['point_mask_prev'], False))(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def f_vfe(b):
-        cur, prv = vfe.apply(v_vfe, b['points'], b['point_mask'],
-                             b['points_prev'], b['point_mask_prev'], False)
-        return jnp.sum(cur['voxel_features']) + jnp.sum(prv['voxel_features'])
+    def f_vfe(c):
+        cur, prv = vfe.apply(v_vfe, dev['points'] + c * 1e-30,
+                             dev['point_mask'], dev['points_prev'],
+                             dev['point_mask_prev'], False)
+        return (jnp.sum(cur['voxel_features'])
+                + jnp.sum(prv['voxel_features']))
 
-    t_vfe = timed(f_vfe, dev)
-    print(f'VFE (2 frames){t_vfe * 1e3:8.2f} ms', flush=True)
+    scan_time('VFE (2 frames)', f_vfe)
 
-    # materialize VFE outputs for the backbone stage
     cur, prv = jax.jit(
         lambda b: vfe.apply(v_vfe, b['points'], b['point_mask'],
                             b['points_prev'], b['point_mask_prev'], False)
@@ -117,19 +124,19 @@ def main():
     vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
                       prv['voxel_mask'], hw)
 
-    # stage: SiamWCA backbone
+    # stage: SiamWCA backbone (with the production compaction caps)
     bb = SiamWCA(mcfg.BACKBONE_3D,
-                 tuple(int(v) for v in cfg.RUNTIME['MAX_VOXELS']))
+                 tuple(int(v) for v in cfg.RUNTIME['MAX_VOXELS']),
+                 occ_window_caps=caps)
     v_bb = jax.jit(lambda r: bb.init(r, vs_cur, vs_prv, False))(
         jax.random.PRNGKey(0))
 
-    @jax.jit
-    def f_bb(c, p):
-        spatial, _ = bb.apply(v_bb, c, p, False)
+    def f_bb(c):
+        vc = VoxelSet(vs_cur.feat + c * 1e-30, vs_cur.coords, vs_cur.mask, hw)
+        spatial, _ = bb.apply(v_bb, vc, vs_prv, False)
         return jnp.sum(spatial)
 
-    t_bb = timed(f_bb, vs_cur, vs_prv)
-    print(f'SiamWCA       {t_bb * 1e3:8.2f} ms', flush=True)
+    scan_time('SiamWCA', f_bb, reps_pair=(8, 24))
 
     spatial, _ = jax.jit(lambda c, p: bb.apply(v_bb, c, p, False))(
         vs_cur, vs_prv)
@@ -139,12 +146,10 @@ def main():
     v_bev = jax.jit(lambda r: bev.init(r, spatial, False))(
         jax.random.PRNGKey(0))
 
-    @jax.jit
-    def f_bev(s):
-        return jnp.sum(bev.apply(v_bev, s, False))
+    def f_bev(c):
+        return jnp.sum(bev.apply(v_bev, spatial + c * 1e-30, False))
 
-    t_bev = timed(f_bev, spatial)
-    print(f'BEV backbone  {t_bev * 1e3:8.2f} ms', flush=True)
+    scan_time('BEV backbone', f_bev)
 
     spatial2d = jax.jit(lambda s: bev.apply(v_bev, s, False))(spatial)
 
@@ -154,16 +159,11 @@ def main():
     v_head = jax.jit(lambda r: head.init(r, spatial2d, False))(
         jax.random.PRNGKey(0))
 
-    @jax.jit
-    def f_head(s):
-        preds = head.apply(v_head, s, False)
-        return sum(jnp.sum(p['hm']) for p in preds)
+    def f_head(c):
+        preds = head.apply(v_head, spatial2d + c * 1e-30, False)
+        return sum(jnp.sum(p['hm'].astype(jnp.float32)) for p in preds)
 
-    t_head = timed(f_head, spatial2d)
-    print(f'CenterHead    {t_head * 1e3:8.2f} ms', flush=True)
-
-    parts = t_vfe + t_bb + t_bev + t_head - 4 * rtt
-    print(f'--- parts sum {parts * 1e3:8.2f} ms  vs full {(t_full - rtt) * 1e3:.2f} ms', flush=True)
+    scan_time('CenterHead', f_head)
 
 
 if __name__ == '__main__':
