@@ -30,9 +30,12 @@ GRID = 24  # 3x3 windows + shift padding
 def f32_compute(monkeypatch):
     """Run our blocks in f32 so the comparison isolates SEMANTICS; the bf16
     compute policy's numerics envelope is covered by the kernel tests."""
+    import tmae_tpu.models.layers as layers
     import tmae_tpu.models.sst as sst
 
     monkeypatch.setattr(sst, 'COMPUTE_DTYPE', jnp.float32)
+    monkeypatch.setattr(layers, 'CARRIER_DTYPE', jnp.float32)
+    monkeypatch.setattr(layers, 'CONV_DTYPE', jnp.float32)
 
 
 def _drop_info():

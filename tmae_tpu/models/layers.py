@@ -14,6 +14,11 @@ import jax.numpy as jnp
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.01  # torch momentum 0.01 → flax momentum 0.99
 CONV_DTYPE = jnp.bfloat16  # matmul/conv compute dtype (params stay f32)
+# inter-layer activation dtype on the dense BEV carrier. bf16 halves the
+# bandwidth of every elementwise/BN/pad pass between convs and encoder
+# kernels; BN statistics and normalization math stay f32 (upcast/downcast
+# fuse into the surrounding elementwise chain, so no extra HBM pass).
+CARRIER_DTYPE = jnp.bfloat16
 
 
 class MaskedBatchNorm(nn.Module):
@@ -39,10 +44,12 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param('scale', nn.initializers.ones, (C,))
         bias = self.param('bias', nn.initializers.zeros, (C,))
 
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stats + normalization in f32
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            m = mask.astype(x.dtype)[..., None]
+            m = mask.astype(jnp.float32)[..., None]
             cnt = jnp.maximum(jnp.sum(m), 1.0)
             red = tuple(range(x.ndim - 1))
             mean = jnp.sum(x * m, axis=red) / cnt
@@ -57,7 +64,7 @@ class MaskedBatchNorm(nn.Module):
                     self.momentum * ra_var.value + (1 - self.momentum) * unbiased
                 )
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[..., None], y, 0.0)
+        return jnp.where(mask[..., None], y, 0.0).astype(in_dtype)
 
 
 class BatchNorm2d(nn.Module):
@@ -72,12 +79,13 @@ class BatchNorm2d(nn.Module):
         use_ra = nn.merge_param(
             'use_running_average', self.use_running_average, use_running_average
         )
+        in_dtype = x.dtype
         return nn.BatchNorm(
             use_running_average=use_ra,
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=None,
-        )(x)
+        )(x.astype(jnp.float32)).astype(in_dtype)
 
 
 class ConvBNReLU(nn.Module):
@@ -104,7 +112,7 @@ class ConvBNReLU(nn.Module):
             padding=((pad, pad), (pad, pad)),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias, dtype=CONV_DTYPE,
-        )(x).astype(jnp.float32)
+        )(x).astype(CARRIER_DTYPE)
         x = BatchNorm2d(epsilon=self.epsilon, momentum=self.momentum)(
             x, use_running_average=not train
         )
@@ -124,7 +132,7 @@ class DeconvBNReLU(nn.Module):
             self.features, (self.stride, self.stride),
             strides=(self.stride, self.stride), use_bias=False,
             dtype=CONV_DTYPE,
-        )(x).astype(jnp.float32)
+        )(x).astype(CARRIER_DTYPE)
         x = BatchNorm2d()(x, use_running_average=not train)
         return nn.relu(x)
 
@@ -158,8 +166,8 @@ class SubMConvBlock(nn.Module):
     def __call__(self, grid, occ, train: bool):
         """grid [B, H, W, C] (zeros at inactive), occ [B, H, W] bool."""
         x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
-                    dtype=CONV_DTYPE)(grid).astype(jnp.float32)
-        x = jnp.where(occ[..., None], x, 0.0)
+                    dtype=CONV_DTYPE)(grid).astype(CARRIER_DTYPE)
+        x = jnp.where(occ[..., None], x, jnp.zeros((), x.dtype))
         x = MaskedBatchNorm()(x, occ, use_running_average=not train)
         return nn.relu(x)
 
@@ -180,8 +188,8 @@ class StridedSparseConvBlock(nn.Module):
         x = nn.Conv(
             self.features, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
             use_bias=False, dtype=CONV_DTYPE,
-        )(grid).astype(jnp.float32)
-        x = jnp.where(occ_out[..., None], x, 0.0)
+        )(grid).astype(CARRIER_DTYPE)
+        x = jnp.where(occ_out[..., None], x, jnp.zeros((), x.dtype))
         x = MaskedBatchNorm()(x, occ_out, use_running_average=not train)
         return nn.relu(x)
 

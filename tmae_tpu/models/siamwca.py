@@ -160,8 +160,12 @@ class SiamWCA(nn.Module):
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
-        g_cur = DenseGrid(x=vs_cur.to_dense(), occ=vs_cur.occupancy())
-        g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
+        from .layers import CARRIER_DTYPE
+
+        g_cur = DenseGrid(x=vs_cur.to_dense().astype(CARRIER_DTYPE),
+                          occ=vs_cur.occupancy())
+        g_prv = DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
+                          occ=vs_prv.occupancy())
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps, name='encoder'
@@ -256,8 +260,12 @@ class SiamWCA_MAE(nn.Module):
             feat=jnp.where(visible[..., None], vs_cur.feat, 0.0),
             coords=vs_cur.coords, mask=visible, grid_hw=vs_cur.grid_hw,
         )
-        g_vis = DenseGrid(x=vs_vis.to_dense(), occ=vs_vis.occupancy())
-        g_prv = DenseGrid(x=vs_prv.to_dense(), occ=vs_prv.occupancy())
+        from .layers import CARRIER_DTYPE
+
+        g_vis = DenseGrid(x=vs_vis.to_dense().astype(CARRIER_DTYPE),
+                          occ=vs_vis.occupancy())
+        g_prv = DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
+                          occ=vs_prv.occupancy())
 
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,

@@ -56,7 +56,10 @@ class SPTBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, vs: VoxelSet, train: bool):
-        grid = DenseGrid(x=vs.to_dense(), occ=vs.occupancy())
+        from .layers import CARRIER_DTYPE
+
+        grid = DenseGrid(x=vs.to_dense().astype(CARRIER_DTYPE),
+                         occ=vs.occupancy())
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps, name='encoder'
@@ -98,7 +101,10 @@ class SPTBackboneMAE(nn.Module):
             feat=jnp.where(visible[..., None], vs.feat, 0.0),
             coords=vs.coords, mask=visible, grid_hw=vs.grid_hw,
         )
-        g_vis = DenseGrid(x=vs_vis.to_dense(), occ=vs_vis.occupancy())
+        from .layers import CARRIER_DTYPE
+
+        g_vis = DenseGrid(x=vs_vis.to_dense().astype(CARRIER_DTYPE),
+                          occ=vs_vis.occupancy())
 
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level,

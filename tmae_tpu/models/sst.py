@@ -269,7 +269,7 @@ class DenseEncoderLayer(nn.Module):
                 )
             out = out.reshape(B, cap, T, C)
             x = scatter_windows(out, compact.idx, hw, w, self.shift)
-            x = jnp.where(grid.occ[..., None], x.astype(jnp.float32), 0.0)
+            x = jnp.where(grid.occ[..., None], x, jnp.zeros((), x.dtype))
             return DenseGrid(x=x, occ=grid.occ)
         if use_pallas:
             # grid-native kernel: window partition + layer + inverse partition
@@ -279,8 +279,8 @@ class DenseEncoderLayer(nn.Module):
             x = pallas_encoder.fused_encoder_layer_grid(
                 grid.x.astype(dt), kvg.x.astype(dt), grid.occ, kvg.occ, pos,
                 *params, self.nhead, self.tau_min, cross, w, self.shift,
-            ).astype(jnp.float32)
-            x = jnp.where(grid.occ[..., None], x, 0.0)
+            )
+            x = jnp.where(grid.occ[..., None], x, jnp.zeros((), x.dtype))
             return DenseGrid(x=x, occ=grid.occ)
 
         xw = window_view(grid.x.astype(dt), w, self.shift)
@@ -301,9 +301,9 @@ class DenseEncoderLayer(nn.Module):
             flat(xw), flat(kvw), flat(qmask), flat(kmask), pos, *params,
             nhead=self.nhead, tau_min=self.tau_min, cross=cross,
         )
-        out = out.reshape(B, NW, T, C).astype(jnp.float32)
+        out = out.reshape(B, NW, T, C)
         x = window_unview(out, grid.grid_hw, w, self.shift)
-        x = jnp.where(grid.occ[..., None], x, 0.0)
+        x = jnp.where(grid.occ[..., None], x, jnp.zeros((), x.dtype))
         return DenseGrid(x=x, occ=grid.occ)
 
 
