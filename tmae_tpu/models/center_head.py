@@ -138,7 +138,7 @@ def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
 
 def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
                    feature_map_stride: int, class_id_maps,
-                   nms_on_device: bool = True):
+                   nms_on_device: bool = True, exact_topk: bool = False):
     """Static-shape decode + per-sample class-agnostic rotated NMS
     (center_head.py:281-343 + model_nms_utils.py:6-25).
 
@@ -162,6 +162,7 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
             feature_map_stride=feature_map_stride, K=K,
             score_thresh=float(post_cfg['SCORE_THRESH']),
             post_center_limit_range=tuple(post_cfg['POST_CENTER_LIMIT_RANGE']),
+            exact_topk=exact_topk,
         )
         # local head class → global class id, 1-indexed (center_head.py:316)
         gmap = jnp.asarray(class_id_maps[gi], jnp.int32)

@@ -127,11 +127,20 @@ def assign_center_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
     }
 
 
-def topk_heatmap(scores: jnp.ndarray, K: int):
+def topk_heatmap(scores: jnp.ndarray, K: int, exact: bool = True):
     """[B, C, H, W] → (score, class, flat_ind, ys, xs) each [B, K], matching
-    ``_topk`` (centernet_utils.py:136-151): top-K per class, then top-K overall."""
+    ``_topk`` (centernet_utils.py:136-151): top-K per class, then top-K overall.
+
+    ``exact=False`` uses the TPU-native ``approx_max_k`` for the big per-class
+    pass (recall_target=0.99; the exact ``lax.top_k`` over C x H*W lowers to a
+    full sort, ~2 ms at the ONCE grid). Candidates far below the top-500
+    cutoff are below any usable SCORE_THRESH, so AP is unaffected."""
     B, C, H, W = scores.shape
-    s_cls, i_cls = jax.lax.top_k(scores.reshape(B, C, H * W), K)  # [B, C, K]
+    if exact:
+        s_cls, i_cls = jax.lax.top_k(scores.reshape(B, C, H * W), K)
+    else:
+        s_cls, i_cls = jax.lax.approx_max_k(
+            scores.reshape(B, C, H * W), K, recall_target=0.99)
     s_all, i_all = jax.lax.top_k(s_cls.reshape(B, C * K), K)  # [B, K]
     cls = (i_all // K).astype(jnp.int32)
     flat = jnp.take_along_axis(i_cls.reshape(B, C * K), i_all, axis=1)
@@ -149,11 +158,11 @@ def gather_feat(feat: jnp.ndarray, inds: jnp.ndarray):
     ).transpose(0, 2, 1)
 
 
-@partial(jax.jit, static_argnames=('K', 'feature_map_stride'))
+@partial(jax.jit, static_argnames=('K', 'feature_map_stride', 'exact_topk'))
 def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
                              point_cloud_range, voxel_size, feature_map_stride: int,
                              K: int, score_thresh: float,
-                             post_center_limit_range):
+                             post_center_limit_range, exact_topk: bool = True):
     """Static-shape version of centernet_utils.decode_bbox_from_heatmap:154-220.
     Returns boxes [B, K, 7], scores [B, K], labels [B, K] (0-indexed per head),
     valid [B, K]."""
@@ -161,7 +170,7 @@ def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
     vs = jnp.asarray(voxel_size, jnp.float32)
     lim = jnp.asarray(post_center_limit_range, jnp.float32)
 
-    scores, cls, inds, ys, xs = topk_heatmap(heatmap, K)
+    scores, cls, inds, ys, xs = topk_heatmap(heatmap, K, exact=exact_topk)
     ctr = gather_feat(center, inds)  # [B, K, 2]
     rc = gather_feat(rot_cos, inds)[..., 0]
     rs = gather_feat(rot_sin, inds)[..., 0]
