@@ -57,6 +57,35 @@ def parse_config():
     parser.add_argument('--fixed_gap_eval', type=int, default=-1)
     parser.add_argument('--set', dest='set_cfgs', default=None, nargs='*',
                         help='set extra config keys')
+    # reference CLI surface parity (tools/train.py:37-127). Flags that have no
+    # TPU meaning are accepted and logged rather than rejected, so reference
+    # launch scripts run unmodified:
+    parser.add_argument('--workers', type=int, default=2,
+                        help='loader prefetch depth (threaded, not procs)')
+    parser.add_argument('--launcher', choices=['none', 'jax', 'pytorch',
+                                               'slurm'], default='none',
+                        help="'jax' initializes jax.distributed for "
+                             'multi-host; pytorch/slurm accepted as aliases')
+    parser.add_argument('--local_rank', type=int, default=None,
+                        help='ignored (torch-DDP artifact)')
+    parser.add_argument('--tcp_port', type=int, default=18888,
+                        help='coordinator port for --launcher jax')
+    parser.add_argument('--sync_bn', action='store_true',
+                        help='no-op: BN statistics are always global-batch '
+                             'under the jitted data-parallel step')
+    parser.add_argument('--amp', action='store_true',
+                        help='no-op: bf16 compute policy is always on '
+                             '(DESIGN.md §6)')
+    parser.add_argument('--start_epoch', type=int, default=0)
+    parser.add_argument('--merge_all_iters_to_one_epoch',
+                        action='store_true',
+                        help='no-op: epoch accounting is step-based')
+    parser.add_argument('--max_waiting_mins', type=int, default=30,
+                        help='post-train eval polling budget')
+    parser.add_argument('--save_to_file', action='store_true',
+                        help='no-op: logs always mirror to file')
+    parser.add_argument('--wandb', action='store_true')
+    parser.add_argument('--wandb_proj_name', type=str, default='tmae_tpu')
     args = parser.parse_args()
     cfg = cfg_from_yaml_file(args.cfg_file)
     if args.set_cfgs is not None:
@@ -89,11 +118,14 @@ def main():
     logger.info('devices: %s', jax.devices())
     log_config_to_file(cfg, logger=logger)
 
+    if args.launcher == 'jax':
+        jax.distributed.initialize()  # multi-host (coordinator from env)
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=True,
         runtime_cfg=cfg.RUNTIME, seed=seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
+    loader.prefetch = max(1, args.workers)
     steps_per_epoch = len(loader)
     logger.info('dataset: %d samples, %d steps/epoch', len(dataset),
                 steps_per_epoch)
@@ -182,7 +214,9 @@ def main():
     base_rng = jax.random.PRNGKey(seed + 7)
 
     from tmae_tpu.utils.metrics import MetricsLogger
-    metrics_log = MetricsLogger(out_dir)
+    metrics_log = MetricsLogger(
+        out_dir,
+        wandb_project=args.wandb_proj_name if args.wandb else None)
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         t_epoch = time.time()
