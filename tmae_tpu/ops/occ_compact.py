@@ -99,6 +99,12 @@ def _scatter_kernel(wy_ref, wx_ref, x_ref, o_ref):
     o_ref[0] = x_ref[0, 0].reshape(w, w, C)
 
 
+def _scatter_kernel_init(wy_ref, wx_ref, init_ref, x_ref, o_ref):
+    w = o_ref.shape[1]
+    C = o_ref.shape[3]
+    o_ref[0] = x_ref[0, 0].reshape(w, w, C)
+
+
 def _gather_pallas(xg, idx, window):
     B, Hp2, Wp, C = xg.shape
     cap = idx.shape[1]
@@ -131,33 +137,48 @@ def _gather_pallas(xg, idx, window):
     return out
 
 
-def _scatter_pallas(xw, idx, out_shape, window):
+def _scatter_pallas(xw, idx, out_shape, window, zero_fill):
     B, Hp2, Wp, C = out_shape
     cap = idx.shape[1]
     w = window
     wy, wx = idx[..., 0], idx[..., 1]
+    out_spec = pl.BlockSpec(
+        (1, w, w, C),
+        lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i], wx_ref[b, i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, w * w, C),
+            lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [xw]
+    kwargs = {}
+    kernel = _scatter_kernel
+    if zero_fill:
+        # unwritten output blocks must be ZEROS (e.g. the gather VJP, whose
+        # result is a gradient): alias a zeros grid into the output so blocks
+        # no grid step visits keep their initial value instead of whatever
+        # the freshly allocated HBM held
+        operands = [jnp.zeros(out_shape, xw.dtype)] + operands
+        in_specs = [out_spec] + in_specs
+        # aliasing indices count the scalar-prefetch args (wy, wx)
+        kwargs['input_output_aliases'] = {2: 0}
+        kernel = _scatter_kernel_init
     out = pl.pallas_call(
-        _scatter_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, xw.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, cap),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, w * w, C),
-                    lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, w, w, C),
-                lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i],
-                                              wx_ref[b, i], 0),
-                memory_space=pltpu.VMEM,
-            ),
+            in_specs=in_specs,
+            out_specs=out_spec,
         ),
         interpret=_INTERPRET,
-    )(wy, wx, xw)
+        **kwargs,
+    )(wy, wx, *operands)
     return out
 
 
@@ -202,35 +223,39 @@ def _gather_fwd(xg, idx, grid_hw, window, shift):
 
 
 def _gather_bwd(grid_hw, window, shift, idx, g):
-    dx = scatter_windows(g, idx, grid_hw, window, shift)
+    dx = scatter_windows(g, idx, grid_hw, window, shift, zero_fill=True)
     return dx, np.zeros(idx.shape, jax.dtypes.float0)
 
 
 gather_windows.defvjp(_gather_fwd, _gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def scatter_windows(xw, idx, grid_hw, window: int, shift: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def scatter_windows(xw, idx, grid_hw, window: int, shift: bool,
+                    zero_fill: bool = False):
     """Inverse of gather_windows: [B, cap, w*w, C] → [B, H, W, C].
 
-    Cells of windows not named by ``idx`` are UNDEFINED (Pallas leaves their
-    output blocks unwritten); the caller must mask with the occupancy grid
-    (which is False everywhere in such windows)."""
+    With ``zero_fill=False`` (the hot forward path) cells of windows not
+    named by ``idx`` are UNDEFINED (Pallas leaves their output blocks
+    unwritten) and the caller must mask with the occupancy grid;
+    ``zero_fill=True`` initializes them to zero (required when the result is
+    a GRADIENT, as in the gather VJP)."""
     if _use_pallas():
         B, cap, T, C = xw.shape
         H, W = grid_hw
         nwy, nwx, Hp, Wp = window_geometry((H, W), window)
         off = window // 2 if shift else window
-        out = _scatter_pallas(xw, idx, (B, Hp + window, Wp, C), window)
+        out = _scatter_pallas(xw, idx, (B, Hp + window, Wp, C), window,
+                              zero_fill)
         return out[:, off:off + H, off:off + W, :]
     return _scatter_ref(xw, idx, grid_hw, window, shift)
 
 
-def _scatter_fwd(xw, idx, grid_hw, window, shift):
-    return scatter_windows(xw, idx, grid_hw, window, shift), idx
+def _scatter_fwd(xw, idx, grid_hw, window, shift, zero_fill=False):
+    return scatter_windows(xw, idx, grid_hw, window, shift, zero_fill), idx
 
 
-def _scatter_bwd(grid_hw, window, shift, idx, g):
+def _scatter_bwd(grid_hw, window, shift, zero_fill, idx, g):
     dxw = gather_windows(g, idx, grid_hw, window, shift)
     return dxw, np.zeros(idx.shape, jax.dtypes.float0)
 
