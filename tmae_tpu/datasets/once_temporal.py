@@ -86,6 +86,10 @@ class ONCETemporalDataset(DatasetTemplate):
                  runtime_cfg=None, seed=None):
         super().__init__(dataset_cfg, class_names, training, root_path,
                          runtime_cfg, seed)
+        from ..utils.file_client import FileClient
+
+        fc_cfg = dict(dataset_cfg.get('FILE_CLIENT', {'backend': 'disk'}))
+        self.file_client = FileClient(**fc_cfg)
         self.split = dataset_cfg['DATA_SPLIT']['train' if training else 'test']
         self.scan_window = int(dataset_cfg.get('SCAN_WINDOW', 3))
         self.align_two_frames = bool(dataset_cfg.get('ALIGN_TWO_FRAMES', True))
@@ -116,20 +120,22 @@ class ONCETemporalDataset(DatasetTemplate):
                     break
         if info_path is None:
             return
-        with open(info_path, 'rb') as f:
-            self.once_infos = pickle.load(f)
+        self.once_infos = self.file_client.load_pickle(info_path)
 
     def get_lidar(self, seq_id, frame_id):
         path = self.root / 'data' / seq_id / 'lidar_roof' / f'{frame_id}.bin'
-        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+        return self.file_client.load_to_numpy(path).reshape(-1, 4)
 
     def get_image(self, seq_id, frame_id, cam_name):
         """ONCE camera frame (<root>/data/<seq>/<cam>/<frame>.jpg) as uint8
         BGR (the cv2 channel convention the image processors assume)."""
+        import io
+
         from PIL import Image
 
         path = self.root / 'data' / seq_id / cam_name / f'{frame_id}.jpg'
-        img = np.asarray(Image.open(path).convert('RGB'))[..., ::-1]
+        with io.BytesIO(self.file_client.get(path)) as f:
+            img = np.asarray(Image.open(f).convert('RGB'))[..., ::-1]
         return np.ascontiguousarray(img)
 
     def _attach_camera(self, data, info):
