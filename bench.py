@@ -69,9 +69,13 @@ def child():
         sys.stderr.flush()
 
     cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+    # BENCH_BATCH > 1 measures batched serving throughput (frames/sec/chip
+    # still counts every frame); the driver-facing default stays at the
+    # reference harness's batch 1 (eval_utils.py:57-77)
+    bench_batch = int(os.environ.get('BENCH_BATCH', '1'))
     dataset, loader = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=1, training=False,
-        runtime_cfg=cfg.RUNTIME, seed=0,
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=bench_batch,
+        training=False, runtime_cfg=cfg.RUNTIME, seed=0,
     )
     model = build_detector(cfg)
     batch = next(iter(loader))
