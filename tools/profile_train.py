@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Full-size finetune train-step throughput on the attached accelerator.
+"""Full-size train-step throughput on the attached accelerator (finetune by
+default; ``--model mae`` profiles the TMAE pretrain step).
 
 Measures the jitted CenterPoint+SiamWCA training step (forward + fused Pallas
 backward + one-cycle AdamW update) at the ONCE 468x468 grid over several batch
@@ -18,6 +19,13 @@ sys.path.insert(0, str(REPO))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', choices=['finetune', 'mae'], default='finetune')
+    ap.add_argument('--batches', type=int, nargs='+', default=[1, 2, 4])
+    cli = ap.parse_args()
+
     import jax
 
     jax.config.update('jax_compilation_cache_dir', str(REPO / '.jax_cache'))
@@ -31,8 +39,12 @@ def main():
     from tmae_tpu.train.optimization import build_optimizer
     from tmae_tpu.train.trainer import create_train_state, make_train_step
 
-    cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
-    for B in (1, 2, 4):
+    from tmae_tpu.models.detectors import tmae_loss
+
+    yaml_name = ('t_mae_ssl_synth.yaml' if cli.model == 'mae'
+                 else 't_mae_synth.yaml')
+    cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models' / yaml_name)
+    for B in cli.batches:
         _, loader = build_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=B, training=True,
             runtime_cfg=cfg.RUNTIME, seed=0,
@@ -41,12 +53,20 @@ def main():
         dev = {k: jnp.asarray(v) for k, v in batch.items()
                if k != 'frame_id'}
         model = build_detector(cfg)
-        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-            jax.random.PRNGKey(0), dev)
+        is_mae = cli.model == 'mae'
+        init_rngs = {'params': jax.random.PRNGKey(0)}
+        if is_mae:
+            init_rngs['mae_mask'] = jax.random.PRNGKey(1)
+        variables = jax.jit(lambda b: model.init(init_rngs, b, train=False))(
+            dev)
         tx, _ = build_optimizer(dict(cfg.OPTIMIZATION), steps_per_epoch=100)
         state = create_train_state(variables, tx)
-        loss_fn = lambda out, b: centerpoint_loss(cfg, out, b)
-        step = make_train_step(model, loss_fn, tx)
+        if is_mae:
+            loss_fn = lambda out, b: tmae_loss(cfg, out, b)
+            step = make_train_step(model, loss_fn, tx, rng_names=('mae_mask',))
+        else:
+            loss_fn = lambda out, b: centerpoint_loss(cfg, out, b)
+            step = make_train_step(model, loss_fn, tx)
 
         @jax.jit
         def steps(state, dev, n=4):
