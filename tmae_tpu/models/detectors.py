@@ -67,8 +67,11 @@ class _DetectorBase(nn.Module):
     spec: VoxelSpec
     max_voxels_per_level: Sequence[int]
     # occupied-window compaction caps per pyramid level (RUNTIME.OCC_WINDOW_CAPS;
-    # empty = dense windows). See ops/occ_compact.py.
+    # empty = dense windows). See ops/occ_compact.py. OCC_SMALL_CAPS adds the
+    # token-bucketed small-window plan (cap per level, S = OCC_SMALL_TOKENS).
     occ_window_caps: Sequence[int] = ()
+    occ_small_caps: Sequence[int] = ()
+    occ_small_tokens: int = 16
 
     def _vfe(self, batch, train):
         """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras)."""
@@ -123,12 +126,16 @@ class CenterPoint(_DetectorBase):
         if b3d['NAME'] == 'SiamWCA':
             spatial, _ = SiamWCA(
                 b3d, self.max_voxels_per_level,
-                occ_window_caps=self.occ_window_caps, name='backbone_3d'
+                occ_window_caps=self.occ_window_caps,
+                occ_small_caps=self.occ_small_caps,
+                occ_small_tokens=self.occ_small_tokens, name='backbone_3d'
             )(vs_cur, vs_prv, train)
         elif b3d['NAME'] == 'SPTBackbone':
             spatial, _ = SPTBackbone(
                 b3d, self.max_voxels_per_level,
-                occ_window_caps=self.occ_window_caps, name='backbone_3d'
+                occ_window_caps=self.occ_window_caps,
+                occ_small_caps=self.occ_small_caps,
+                occ_small_tokens=self.occ_small_tokens, name='backbone_3d'
             )(vs_cur, train)
         else:
             raise NotImplementedError(b3d['NAME'])
@@ -152,14 +159,18 @@ class TMAE(_DetectorBase):
             out = SiamWCA_MAE(
                 b3d, self.max_voxels_per_level,
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
-                occ_window_caps=self.occ_window_caps, name='backbone_3d',
+                occ_window_caps=self.occ_window_caps,
+                occ_small_caps=self.occ_small_caps,
+                occ_small_tokens=self.occ_small_tokens, name='backbone_3d',
             )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         elif b3d['NAME'] == 'SPTBackboneMAE':
             out = SPTBackboneMAE(
                 b3d, self.max_voxels_per_level,
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
-                occ_window_caps=self.occ_window_caps, name='backbone_3d',
+                occ_window_caps=self.occ_window_caps,
+                occ_small_caps=self.occ_small_caps,
+                occ_small_tokens=self.occ_small_tokens, name='backbone_3d',
             )(vs_cur, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         else:
@@ -209,6 +220,9 @@ def build_detector(cfg):
         max_voxels_per_level=tuple(int(v) for v in runtime['MAX_VOXELS']),
         occ_window_caps=tuple(
             int(v) for v in runtime.get('OCC_WINDOW_CAPS', ())),
+        occ_small_caps=tuple(
+            int(v) for v in runtime.get('OCC_SMALL_CAPS', ())),
+        occ_small_tokens=int(runtime.get('OCC_SMALL_TOKENS', 16)),
     )
 
 
@@ -251,8 +265,13 @@ def tmae_loss(cfg, outputs, batch):
     return loss, {'loss_rpn': loss}
 
 
-def centerpoint_predict(cfg, outputs, nms_on_device: bool = True):
+def centerpoint_predict(cfg, outputs, nms_on_device: bool = True,
+                        exact_topk: bool = True):
     """Decode + NMS → (boxes [B,K,7], scores, labels 1-indexed, valid).
+
+    ``exact_topk=True`` (default, the eval path) matches the reference
+    ``_topk`` exactly; the serving/bench hot path opts into
+    ``jax.lax.approx_max_k`` (recall 0.99) with ``exact_topk=False``.
 
     ``nms_on_device=False`` decodes on device and leaves the rotated NMS to
     ``host_nms`` (the C++ host-ops path) — K=500 candidate boxes are a trivial
@@ -268,7 +287,7 @@ def centerpoint_predict(cfg, outputs, nms_on_device: bool = True):
     return decode_and_nms(
         outputs['pred_dicts'], dict(head_cfg['POST_PROCESSING']),
         spec.voxel_size, spec.pc_range, stride, id_maps,
-        nms_on_device=nms_on_device,
+        nms_on_device=nms_on_device, exact_topk=exact_topk,
     )
 
 

@@ -58,6 +58,8 @@ class SiamWCAEncoder(nn.Module):
     max_voxels_per_level: Sequence[int]
     window: int = 8
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
@@ -67,6 +69,11 @@ class SiamWCAEncoder(nn.Module):
         if not self.occ_window_caps:
             return 0
         return int(self.occ_window_caps[i])
+
+    def _small_cap(self, i) -> int:
+        if not self.occ_small_caps:
+            return 0
+        return int(self.occ_small_caps[i])
 
     def setup(self):
         blocks = self.model_cfg['SST_BLOCK_LIST']
@@ -84,6 +91,8 @@ class SiamWCAEncoder(nn.Module):
                 max_tokens=self._max_tokens(b),
                 max_voxels_out=self.max_voxels_per_level[i],
                 occ_window_cap=self._cap(i),
+                occ_small_cap=self._small_cap(i),
+                occ_small_tokens=self.occ_small_tokens,
                 name=f'sst_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -96,6 +105,8 @@ class SiamWCAEncoder(nn.Module):
                     max_voxels_out=self.max_voxels_per_level[i],
                     half_channels=True,
                     occ_window_cap=self._cap(i),
+                    occ_small_cap=self._small_cap(i),
+                    occ_small_tokens=self.occ_small_tokens,
                     name=f'sst_block_prev_{i}',
                 )
                 for i, b in enumerate(blocks)
@@ -105,6 +116,8 @@ class SiamWCAEncoder(nn.Module):
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
                 max_tokens=self._max_tokens(b),
                 occ_window_cap=self._cap(i),
+                occ_small_cap=self._small_cap(i),
+                occ_small_tokens=self.occ_small_tokens,
                 name=f'wca_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -157,6 +170,8 @@ class SiamWCA(nn.Module):
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
@@ -168,7 +183,9 @@ class SiamWCA(nn.Module):
                           occ=vs_prv.occupancy())
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,
-            occ_window_caps=self.occ_window_caps, name='encoder'
+            occ_window_caps=self.occ_window_caps,
+            occ_small_caps=self.occ_small_caps,
+            occ_small_tokens=self.occ_small_tokens, name='encoder'
         )(g_cur, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -241,6 +258,8 @@ class SiamWCA_MAE(nn.Module):
     voxel_size: tuple
     pc_range: tuple
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet,
@@ -269,7 +288,9 @@ class SiamWCA_MAE(nn.Module):
 
         fused = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,
-            occ_window_caps=self.occ_window_caps, name='encoder'
+            occ_window_caps=self.occ_window_caps,
+            occ_small_caps=self.occ_small_caps,
+            occ_small_tokens=self.occ_small_tokens, name='encoder'
         )(g_vis, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

@@ -25,6 +25,8 @@ class SPTEncoder(nn.Module):
     max_voxels_per_level: Sequence[int]
     window: int = 8
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
@@ -41,6 +43,9 @@ class SPTEncoder(nn.Module):
                 max_tokens=self._max_tokens(b),
                 max_voxels_out=self.max_voxels_per_level[i],
                 occ_window_cap=int(caps[i]) if caps else 0,
+                occ_small_cap=(int(self.occ_small_caps[i])
+                               if self.occ_small_caps else 0),
+                occ_small_tokens=self.occ_small_tokens,
                 name=f'sst_block_{i}',
             )(x, train)
             hidden.append(x)
@@ -53,6 +58,8 @@ class SPTBackbone(nn.Module):
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     @nn.compact
     def __call__(self, vs: VoxelSet, train: bool):
@@ -62,7 +69,9 @@ class SPTBackbone(nn.Module):
                          occ=vs.occupancy())
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level,
-            occ_window_caps=self.occ_window_caps, name='encoder'
+            occ_window_caps=self.occ_window_caps,
+            occ_small_caps=self.occ_small_caps,
+            occ_small_tokens=self.occ_small_tokens, name='encoder'
         )(grid, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -83,6 +92,8 @@ class SPTBackboneMAE(nn.Module):
     voxel_size: tuple
     pc_range: tuple
     occ_window_caps: Sequence[int] | None = None
+    occ_small_caps: Sequence[int] | None = None
+    occ_small_tokens: int = 16
 
     @nn.compact
     def __call__(self, vs: VoxelSet, points_xyz, point_voxel, point_valid,
@@ -108,7 +119,9 @@ class SPTBackboneMAE(nn.Module):
 
         hidden = SPTEncoder(
             self.model_cfg, self.max_voxels_per_level,
-            occ_window_caps=self.occ_window_caps, name='encoder'
+            occ_window_caps=self.occ_window_caps,
+            occ_small_caps=self.occ_small_caps,
+            occ_small_tokens=self.occ_small_tokens, name='encoder'
         )(g_vis, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

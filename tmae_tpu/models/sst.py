@@ -243,33 +243,66 @@ class DenseEncoderLayer(nn.Module):
                   ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b)
         if compact is not None:
             # occupied-window compaction (ops/occ_compact.py): gather only the
-            # occupied windows, run the flat fused kernel on them, scatter back
-            from ..ops.occ_compact import gather_windows, scatter_windows
+            # occupied windows, run the flat fused kernel(s) on them, and
+            # scatter-OVERWRITE the results into the input grid. Unvisited
+            # windows (occupied beyond a cap, or simply empty) keep the input
+            # content — the identity degradation of the residual reference
+            # block (spt_backbone.py:342-353) — and the writeback moves only
+            # cap window blocks: no memsets, adds, or occ-mask full passes.
+            # Invariant: unoccupied cells stay zero (kernels mask their output
+            # per qmask; unvisited windows inherit the already-masked input).
+            from ..ops.occ_compact import (
+                BucketedCompact, gather_windows, scatter_windows_into,
+            )
 
             hw = grid.grid_hw
             kvg = kv_grid if cross else grid
             B = grid.x.shape[0]
-            cap = compact.idx.shape[1]
-            xw = gather_windows(grid.x.astype(dt), compact.idx, hw, w,
-                                self.shift)
-            kvw = (gather_windows(kvg.x.astype(dt), compact.idx, hw, w,
-                                  self.shift) if cross else xw)
-            qm = compact.qmask
-            km = compact.kmask if cross else qm
-            flat = lambda a: a.reshape(B * cap, *a.shape[2:])
-            if use_pallas:
-                out = pallas_encoder.fused_encoder_layer(
-                    flat(xw), flat(kvw), flat(qm), flat(km), pos, *params,
+            flatn = lambda a: a.reshape(-1, *a.shape[2:])
+
+            def run_full(ci, x):
+                cap = ci.idx.shape[1]
+                xw = gather_windows(x, ci.idx, hw, w, self.shift)
+                kvw = (gather_windows(kvg.x.astype(dt), ci.idx, hw, w,
+                                      self.shift) if cross else xw)
+                qm = ci.qmask
+                km = ci.kmask if cross else qm
+                fn = (pallas_encoder.fused_encoder_layer if use_pallas
+                      else pallas_encoder.reference_encoder_layer)
+                out = fn(
+                    flatn(xw), flatn(kvw), flatn(qm), flatn(km), pos, *params,
                     nhead=self.nhead, tau_min=self.tau_min, cross=cross,
                 )
+                out = out.reshape(B, cap, T, C)
+                return scatter_windows_into(out, ci.idx, x, hw, w, self.shift)
+
+            def run_small(si, x):
+                # token-bucketed kernel: layer math at S = si.sel.shape[-1]
+                # tokens; its output is xw + the expanded delta, i.e. the full
+                # window content to write back (fused_encoder_layer_sel
+                # dispatches to the jnp reference off-TPU)
+                cap = si.idx.shape[1]
+                xw = gather_windows(x, si.idx, hw, w, self.shift)
+                kvw = (gather_windows(kvg.x.astype(dt), si.idx, hw, w,
+                                      self.shift) if cross else xw)
+                sel_k = si.ksel if cross else si.sel
+                km = si.kmask if cross else si.qmask
+                out = pallas_encoder.fused_encoder_layer_sel(
+                    flatn(xw), flatn(kvw), flatn(si.sel), flatn(sel_k),
+                    flatn(si.qmask), flatn(km), pos, *params,
+                    self.nhead, self.tau_min, cross,
+                )
+                out = out.reshape(B, cap, T, C)
+                return scatter_windows_into(out, si.idx, x, hw, w, self.shift)
+
+            x = grid.x.astype(dt)
+            if isinstance(compact, BucketedCompact):
+                if compact.full is not None and compact.full.idx.shape[1]:
+                    x = run_full(compact.full, x)
+                if compact.small is not None and compact.small.idx.shape[1]:
+                    x = run_small(compact.small, x)
             else:
-                out = pallas_encoder.reference_encoder_layer(
-                    flat(xw), flat(kvw), flat(qm), flat(km), pos, *params,
-                    nhead=self.nhead, tau_min=self.tau_min, cross=cross,
-                )
-            out = out.reshape(B, cap, T, C)
-            x = scatter_windows(out, compact.idx, hw, w, self.shift)
-            x = jnp.where(grid.occ[..., None], x, jnp.zeros((), x.dtype))
+                x = run_full(compact, x)
             return DenseGrid(x=x, occ=grid.occ)
         if use_pallas:
             # grid-native kernel: window partition + layer + inverse partition
@@ -346,6 +379,8 @@ class SSTBlock(nn.Module):
     half_channels: bool = False  # asymmetric siamese branch (spt_backbone.py:274-287)
     remat: bool = True
     occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
+    occ_small_cap: int = 0   # >0: token-bucketed small-window plan (cap)
+    occ_small_tokens: int = 16  # small-bucket token count S
 
     @nn.compact
     def __call__(self, grid: DenseGrid, train: bool) -> DenseGrid:
@@ -385,14 +420,29 @@ class SSTBlock(nn.Module):
         # one compaction plan per shift, shared by every layer of the stage
         compact_pair = None
         if self.occ_window_cap > 0:
-            from ..ops.occ_compact import build_compact_info, round_cap
+            from ..ops.occ_compact import (
+                build_bucketed_compact_info, build_compact_info, round_cap,
+            )
 
             hw = (x.shape[1], x.shape[2])
-            compact_pair = tuple(
-                build_compact_info(occ, self.window, s,
-                                   round_cap(self.occ_window_cap), hw)
-                for s in (False, True)
-            )
+            if self.occ_small_cap > 0:
+                compact_pair = tuple(
+                    build_bucketed_compact_info(
+                        occ, self.window, s, self.occ_small_cap,
+                        self.occ_window_cap, hw,
+                        small_tokens=self.occ_small_tokens)
+                    for s in (False, True)
+                )
+            else:
+                compact_pair = tuple(
+                    build_compact_info(occ, self.window, s,
+                                       round_cap(self.occ_window_cap), hw)
+                    for s in (False, True)
+                )
+            # observability: occupied windows dropped by the cap (these run as
+            # identity). Captured via apply(..., mutable=['intermediates']).
+            self.sow('intermediates', 'occ_overflow',
+                     compact_pair[0].overflow() + compact_pair[1].overflow())
         # remat each shift block: the window tensors dominate training memory
         # (jax.checkpoint trades recompute for HBM, DESIGN.md §6)
         block_cls = nn.remat(DenseShiftBlock) if self.remat else DenseShiftBlock

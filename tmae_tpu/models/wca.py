@@ -28,6 +28,8 @@ class WCABlock(nn.Module):
     window: int = 8
     max_tokens: int = 64
     occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
+    occ_small_cap: int = 0   # >0: token-bucketed small-window plan (cap)
+    occ_small_tokens: int = 16  # small-bucket token count S
 
     @nn.compact
     def __call__(self, grid: DenseGrid, grid_prv: DenseGrid,
@@ -42,14 +44,28 @@ class WCABlock(nn.Module):
         # get a zero attention delta, the coupled-drop semantics (module doc)
         compact_pair = None
         if self.occ_window_cap > 0:
-            from ..ops.occ_compact import build_compact_info, round_cap
-
-            compact_pair = tuple(
-                build_compact_info(grid.occ, self.window, s,
-                                   round_cap(self.occ_window_cap),
-                                   grid.grid_hw, kv_occ=grid_prv.occ)
-                for s in (False, True)
+            from ..ops.occ_compact import (
+                build_bucketed_compact_info, build_compact_info, round_cap,
             )
+
+            if self.occ_small_cap > 0:
+                compact_pair = tuple(
+                    build_bucketed_compact_info(
+                        grid.occ, self.window, s, self.occ_small_cap,
+                        self.occ_window_cap, grid.grid_hw,
+                        kv_occ=grid_prv.occ,
+                        small_tokens=self.occ_small_tokens)
+                    for s in (False, True)
+                )
+            else:
+                compact_pair = tuple(
+                    build_compact_info(grid.occ, self.window, s,
+                                       round_cap(self.occ_window_cap),
+                                       grid.grid_hw, kv_occ=grid_prv.occ)
+                    for s in (False, True)
+                )
+            self.sow('intermediates', 'occ_overflow',
+                     compact_pair[0].overflow() + compact_pair[1].overflow())
 
         g = DenseShiftBlock(
             d_model, ecfg['NHEAD'], ecfg['DIM_FEEDFORWARD'], self.window,

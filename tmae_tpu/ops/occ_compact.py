@@ -50,20 +50,26 @@ def round_cap(cap: int, mult: int = 16) -> int:
     return ((int(cap) + mult - 1) // mult) * mult
 
 
-def occupied_window_indices(occ: jnp.ndarray, window: int, shift: bool,
-                            cap: int):
-    """Block coordinates of the occupied windows of each sample, occupied-first
-    in raster order. Returns (idx_yx [B, cap, 2] int32, valid [B, cap] bool).
-    Padding slots point at the dummy window (nwy, 0) — one block row below the
-    padded grid."""
+def window_cell_counts(occ: jnp.ndarray, window: int, shift: bool):
+    """Per-window occupied-cell counts [B, nwy, nwx] int32 (the quantity the
+    reference buckets on, spt_backbone.py:47-71 DROP_INFO)."""
     B, H, W = occ.shape
     nwy, nwx, Hp, Wp = window_geometry((H, W), window)
     off = window // 2 if shift else window
-    occp = jnp.pad(occ, ((0, 0), (off, Hp - H - off), (off, Wp - W - off)))
-    pool = jax.lax.reduce_window(
-        occp, False, jax.lax.bitwise_or, (1, window, window),
-        (1, window, window), 'VALID',
-    )  # [B, nwy, nwx]
+    occp = jnp.pad(occ.astype(jnp.int32),
+                   ((0, 0), (off, Hp - H - off), (off, Wp - W - off)))
+    return jax.lax.reduce_window(
+        occp, 0, jax.lax.add, (1, window, window), (1, window, window),
+        'VALID',
+    )
+
+
+def _indices_from_mask(pool: jnp.ndarray, cap: int):
+    """Window coords of the True windows of a [B, nwy, nwx] class mask,
+    raster order. Returns (idx_yx [B, cap, 2] int32, valid [B, cap] bool,
+    n_true [B] int32 — may exceed cap). Padding slots point at the dummy
+    window (nwy, 0) — one block row below the padded grid."""
+    B, nwy, nwx = pool.shape
     flat = pool.reshape(B, nwy * nwx)
     order = jnp.argsort(~flat, axis=1, stable=True).astype(jnp.int32)
     if cap > order.shape[1]:
@@ -75,7 +81,17 @@ def occupied_window_indices(occ: jnp.ndarray, window: int, shift: bool,
     slot = jnp.where(valid, slot, dummy)
     wy = slot // nwx
     wx = slot % nwx
-    return jnp.stack([wy, wx], axis=-1), valid
+    return jnp.stack([wy, wx], axis=-1), valid, nocc.astype(jnp.int32)
+
+
+def occupied_window_indices(occ: jnp.ndarray, window: int, shift: bool,
+                            cap: int):
+    """Block coordinates of the occupied windows of each sample, occupied-first
+    in raster order. Returns (idx_yx [B, cap, 2] int32, valid [B, cap] bool,
+    n_occupied [B] int32 — the TRUE occupied count, which may exceed cap).
+    Padding slots point at the dummy window (nwy, 0) — one block row below the
+    padded grid."""
+    return _indices_from_mask(window_cell_counts(occ, window, shift) > 0, cap)
 
 
 def _pad_grid(xg, window, shift):
@@ -209,6 +225,25 @@ def _scatter_ref(xw, idx, grid_hw, window, shift):
     return window_unview(full, grid_hw, window, shift)
 
 
+def _scatter_into_ref(xw, idx, init, grid_hw, window, shift):
+    """jnp reference of scatter-overwrite: init grid with the windows named
+    by idx replaced by xw."""
+    H, W = grid_hw
+    B, cap, T, C = xw.shape
+    nwy, nwx, _, _ = window_geometry((H, W), window)
+    NW = nwy * nwx
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], NW)
+    initw = window_view(init.astype(xw.dtype), window, shift)  # [B, NW, T, C]
+
+    def one(initb, xwb, fb):
+        buf = jnp.concatenate(
+            [initb, jnp.zeros((1, T, C), xw.dtype)], axis=0)
+        return buf.at[fb].set(xwb, mode='drop')[:NW]
+
+    full = jax.vmap(one)(initw, xw, flat)
+    return window_unview(full, grid_hw, window, shift)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def gather_windows(xg, idx, grid_hw, window: int, shift: bool):
     """Gather the windows named by ``idx`` from a dense grid:
@@ -263,6 +298,71 @@ def _scatter_bwd(grid_hw, window, shift, zero_fill, idx, g):
 scatter_windows.defvjp(_scatter_fwd, _scatter_bwd)
 
 
+def _scatter_into_pallas(xw, idx, init, window, shift, grid_hw):
+    """Pallas scatter-overwrite: the padded init grid is aliased into the
+    output, so only the cap window blocks move — no memset, no add pass."""
+    H, W = grid_hw
+    B, cap, T, C = xw.shape
+    nwy, nwx, Hp, Wp = window_geometry((H, W), window)
+    off = window // 2 if shift else window
+    out_shape = (B, Hp + window, Wp, C)
+    wy, wx = idx[..., 0], idx[..., 1]
+    out_spec = pl.BlockSpec(
+        (1, window, window, C),
+        lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i], wx_ref[b, i], 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        out_spec,  # aliased init
+        pl.BlockSpec(
+            (1, 1, T, C),
+            lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    init_p = _pad_grid(init.astype(xw.dtype), window, shift)
+    out = pl.pallas_call(
+        _scatter_kernel_init,
+        out_shape=jax.ShapeDtypeStruct(out_shape, xw.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, cap),
+            in_specs=in_specs,
+            out_specs=out_spec,
+        ),
+        input_output_aliases={2: 0},  # init (after the 2 prefetch args)
+        interpret=_INTERPRET,
+    )(wy, wx, init_p, xw)
+    return out[:, off:off + H, off:off + W, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def scatter_windows_into(xw, idx, init, grid_hw, window: int, shift: bool):
+    """Scatter-overwrite: returns ``init`` with the windows named by ``idx``
+    replaced by ``xw`` [B, cap, w*w, C]. Windows NOT named (e.g. occupied
+    windows beyond a compaction cap) keep their init content — the identity
+    degradation of the residual encoder block (spt_backbone.py:342-353) with
+    zero extra full-grid passes."""
+    if _use_pallas():
+        return _scatter_into_pallas(xw, idx, init, window, shift, grid_hw)
+    return _scatter_into_ref(xw, idx, init, grid_hw, window, shift)
+
+
+def _scatter_into_fwd(xw, idx, init, grid_hw, window, shift):
+    return scatter_windows_into(xw, idx, init, grid_hw, window, shift), idx
+
+
+def _scatter_into_bwd(grid_hw, window, shift, idx, g):
+    dxw = gather_windows(g, idx, grid_hw, window, shift)
+    # d init = g with the visited windows zeroed (they were overwritten)
+    dinit = scatter_windows_into(jnp.zeros_like(dxw), idx, g, grid_hw,
+                                 window, shift)
+    return dxw, np.zeros(idx.shape, jax.dtypes.float0), dinit
+
+
+scatter_windows_into.defvjp(_scatter_into_fwd, _scatter_into_bwd)
+
+
 def gather_window_occ(occ: jnp.ndarray, idx, grid_hw, window: int,
                       shift: bool) -> jnp.ndarray:
     """Per-slot key/query mask [B, cap, w*w] (float 0/1) for gathered windows.
@@ -284,12 +384,106 @@ class CompactInfo:
     valid: jnp.ndarray        # [B, cap] bool
     qmask: jnp.ndarray        # [B, cap, T] float
     kmask: jnp.ndarray | None = None  # [B, cap, T] float (cross only)
+    n_occupied: jnp.ndarray | None = None  # [B] int32 true occupied count
+
+    def overflow(self) -> jnp.ndarray:
+        """Per-sample count of occupied windows DROPPED by the cap (these
+        degrade to identity in the encoder layer; see models/sst.py)."""
+        cap = self.idx.shape[1]
+        if self.n_occupied is None:
+            return jnp.zeros(self.idx.shape[0], jnp.int32)
+        return jnp.maximum(self.n_occupied - cap, 0)
 
 
 def build_compact_info(occ, window, shift, cap, grid_hw,
                        kv_occ=None) -> CompactInfo:
-    idx, valid = occupied_window_indices(occ, window, shift, cap)
+    idx, valid, nocc = occupied_window_indices(occ, window, shift, cap)
     qmask = gather_window_occ(occ, idx, grid_hw, window, shift)
     kmask = (gather_window_occ(kv_occ, idx, grid_hw, window, shift)
              if kv_occ is not None else None)
-    return CompactInfo(idx, valid, qmask, kmask)
+    return CompactInfo(idx, valid, qmask, kmask, nocc)
+
+
+# ---------------------------------------------------------------------------
+# Token-bucketed compaction: the TPU analog of the reference's DROP_INFO
+# region batching (spt_backbone.py:47-71). Occupied windows are classed by
+# occupied-CELL count; windows with <= small_tokens cells (the large majority
+# at LiDAR sparsity: ~73% have <= 16 of 64 at stride 1) run a packed
+# T=small_tokens kernel that selects their cells in-VMEM, cutting projections
+# and FFN ~4x and attention logits/AV ~16x for that bucket.
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class SmallCompactInfo:
+    """Plan for the small bucket: window coords plus per-window occupied-cell
+    selections (cell ids in raster order within the window)."""
+
+    idx: jnp.ndarray           # [B, cap, 2] int32 window coords
+    valid: jnp.ndarray         # [B, cap] bool
+    sel: jnp.ndarray           # [B, cap, S] int32 in-window cell ids (q side)
+    qmask: jnp.ndarray         # [B, cap, S] float slot validity
+    ksel: jnp.ndarray | None = None    # [B, cap, S] int32 (cross only)
+    kmask: jnp.ndarray | None = None   # [B, cap, S] float (cross only)
+    n_windows: jnp.ndarray | None = None  # [B] int32 true small-class count
+
+    def overflow(self) -> jnp.ndarray:
+        cap = self.idx.shape[1]
+        if self.n_windows is None:
+            return jnp.zeros(self.idx.shape[0], jnp.int32)
+        return jnp.maximum(self.n_windows - cap, 0)
+
+
+@flax.struct.dataclass
+class BucketedCompact:
+    """Per-(stage, shift) two-bucket plan; either bucket may be None."""
+
+    small: SmallCompactInfo | None
+    full: CompactInfo | None
+
+    def overflow(self) -> jnp.ndarray:
+        parts = [b.overflow() for b in (self.small, self.full)
+                 if b is not None]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+
+def _cell_selection(occ, idx, grid_hw, window, shift, small_tokens):
+    """Occupied-first in-window cell ids + slot mask for the windows named by
+    ``idx``: ([B, cap, S] int32, [B, cap, S] float)."""
+    m = gather_window_occ(occ, idx, grid_hw, window, shift)  # [B, cap, T]
+    sel = jnp.argsort(-m, axis=-1, stable=True)[..., :small_tokens]
+    mask = jnp.take_along_axis(m, sel, axis=-1)
+    return sel.astype(jnp.int32), mask
+
+
+def build_bucketed_compact_info(occ, window, shift, small_cap, full_cap,
+                                grid_hw, kv_occ=None,
+                                small_tokens: int = 16) -> BucketedCompact:
+    """Classify occupied windows by cell count into the small
+    (<= small_tokens on BOTH frames, so no cell is ever dropped) and full
+    buckets, and build each bucket's plan."""
+    cnt_q = window_cell_counts(occ, window, shift)
+    occupied = cnt_q > 0
+    n_eff = cnt_q
+    if kv_occ is not None:
+        n_eff = jnp.maximum(cnt_q, window_cell_counts(kv_occ, window, shift))
+    small_m = occupied & (n_eff <= small_tokens)
+    full_m = occupied & ~small_m
+
+    idx_s, valid_s, n_s = _indices_from_mask(small_m, round_cap(small_cap))
+    sel, qm = _cell_selection(occ, idx_s, grid_hw, window, shift, small_tokens)
+    ksel = kmask_s = None
+    if kv_occ is not None:
+        ksel, kmask_s = _cell_selection(kv_occ, idx_s, grid_hw, window, shift,
+                                        small_tokens)
+    small = SmallCompactInfo(idx_s, valid_s, sel, qm, ksel, kmask_s, n_s)
+
+    idx_f, valid_f, n_f = _indices_from_mask(full_m, round_cap(full_cap))
+    qmask_f = gather_window_occ(occ, idx_f, grid_hw, window, shift)
+    kmask_f = (gather_window_occ(kv_occ, idx_f, grid_hw, window, shift)
+               if kv_occ is not None else None)
+    full = CompactInfo(idx_f, valid_f, qmask_f, kmask_f, n_f)
+    return BucketedCompact(small=small, full=full)

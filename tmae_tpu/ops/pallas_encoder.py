@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -767,6 +768,361 @@ def _pallas_backward(xw, kvw, qmask, kmask, pos, params, g, *, nhead,
         shp(df1w, f1w), shp(df1b, f1b), shp(df2w, f2w), shp(df2b, f2b),
         shp(dln2s, ln2s), shp(dln2b, ln2b), dpos.astype(pos.dtype),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucketed ("sel") variant: windows whose occupied-cell count fits in
+# S = small_tokens slots run the layer at T = S instead of T = window**2.
+# The kernel reads the full [TW, T64, C] window tile (HBM traffic unchanged)
+# but packs the S occupied cells in VMEM via one-hot matmuls, so projections
+# and FFN shrink T64/S-fold and attention (T64/S)**2-fold. This is the TPU
+# analog of the reference's DROP_INFO region batching
+# (spt_backbone.py:47-71, sst_utils.py:118-160).
+# ---------------------------------------------------------------------------
+
+
+def _group_matrices(nhead, S, dtype=jnp.float32):
+    """Constants for head-packed attention with L = nhead*S packed lanes:
+    Tmat [S, L] tiles a per-key row mask over every head's lane group;
+    G [L, L] block-diag ones sums exp-logits within each head's group."""
+    L = nhead * S
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    s = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    tmat = (j % S == s).astype(dtype)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    g = (ji // S == jj // S).astype(dtype)
+    return tmat, g
+
+
+def _attention_core_packed(q, k, v, km, tau, nhead, tau_min, W, S, C,
+                           mask_mat, mask_mat_t):
+    """Cosine multi-head attention for S-token windows with ALL heads packed
+    into one logits matmul and one AV matmul.
+
+    K_cat/V_cat [W, H*S, C] hold head-masked copies of the keys/values, so
+    logits [W, S, H*S] and the AV contraction run at full 128-lane width and
+    depth on the MXU — no per-head loop, ~H x fewer dispatches. Softmax is
+    normalized per head-group by a block-diagonal ones matmul; the shift is
+    the per-row max over ALL groups, which cancels exactly within each group
+    (softmax is shift-invariant), so the math equals per-head softmax."""
+    H = nhead
+    L = H * S
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+    scale = 1.0 / jnp.maximum(tau, tau_min)
+    has_key = jnp.any(km > 0, axis=-1)[:, None, None]
+    q3 = q.reshape(W, S, C)
+    k3 = k.reshape(W, S, C)
+    v3 = v.reshape(W, S, C)
+    qn = (_cosine_normalize(q3, mask_mat, mask_mat_t) * scale).astype(bf)
+    kn = _cosine_normalize(k3, mask_mat, mask_mat_t)
+    # head-masked packed copies: [W, H, S, C] -> [W, H*S, C] (merge above the
+    # lane dim, legal in Mosaic)
+    hmask = _head_mask_rows(H, C)                       # [H, 1, C]
+    kcat = (kn[:, None] * hmask[None]).reshape(W, L, C).astype(bf)
+    vcat = (v3[:, None] * hmask[None]).reshape(W, L, C).astype(bf)
+    tmat, g = _group_matrices(H, S)
+    kmcat = jax.lax.dot_general(                         # [W, L] key mask
+        km, tmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    logits = jax.lax.dot_general(                        # [W, S, L]
+        qn, kcat, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    logits = jnp.where(kmcat[:, None, :] > 0, logits, -30000.0)
+    e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    sums = jax.lax.dot_general(                          # per-group sums
+        e, g, (((2,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    p = jnp.where(has_key, e / (sums + 1e-30), 0.0)
+    out = jax.lax.dot_general(                           # [W, S, C]
+        p.astype(bf), vcat, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    return out.reshape(W * S, C)
+
+
+def _head_mask_rows(H, C, dtype=jnp.float32):
+    """[H, 1, C] per-head channel masks (lane-dim iota, no slicing)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, 1, C), 2)
+    hid = jax.lax.broadcasted_iota(jnp.int32, (H, 1, C), 0)
+    D = C // H
+    return ((lane // D) == hid).astype(dtype)
+
+
+def _layer_body_sel(x64, kv64, sel_q, sel_k, qmask, kmask, pos_ref,
+                    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+                    bo_ref, tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref,
+                    f2w_ref, f2b_ref, ln2s_ref, ln2b_ref,
+                    nhead, tau_min, cross, S):
+    """[TW, T64, C] window tiles -> [TW, T64, C] output; layer math runs on the
+    S selected cells per window. Output = input + expanded delta, so
+    non-selected cells pass through unchanged (callers delta-scatter)."""
+    TW, T64, C = x64.shape
+    dt = x64.dtype
+    f32 = jnp.float32
+    pos = pos_ref[:]                                    # [T64, C]
+
+    cell = jax.lax.broadcasted_iota(jnp.int32, (TW, S, T64), 2)
+    ohq = (cell == sel_q[..., None]).astype(dt)         # [TW, S, T64]
+    pack = lambda oh, a: jax.lax.dot_general(
+        oh, a, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+    x16 = pack(ohq, x64)                                # [TW, S, C] f32
+    posq = jax.lax.dot_general(
+        ohq.reshape(TW * S, T64), pos.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(TW, S, C)
+    if cross:
+        ohk = (cell == sel_k[..., None]).astype(dt)
+        kv16 = pack(ohk, kv64)
+        posk = jax.lax.dot_general(
+            ohk.reshape(TW * S, T64), pos.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).reshape(TW, S, C)
+    else:
+        kv16, posk = x16, posq
+
+    xp = (x16 + posq).reshape(TW * S, C).astype(dt)
+    q = jnp.dot(xp, wq_ref[:], preferred_element_type=f32) + bq_ref[0]
+    kvp = (kv16 + posk).reshape(TW * S, C).astype(dt)
+    k = jnp.dot(kvp, wk_ref[:], preferred_element_type=f32) + bk_ref[0]
+    v = jnp.dot(kv16.reshape(TW * S, C).astype(dt), wv_ref[:],
+                preferred_element_type=f32) + bv_ref[0]
+    mask_mat, mask_mat_t = _head_mask_mats(nhead, C)
+    attn = _attention_core_packed(q, k, v, kmask, tau_ref[0, 0], nhead,
+                                  tau_min, TW, S, C, mask_mat, mask_mat_t)
+    attn = jnp.dot(attn.astype(dt), wo_ref[:],
+                   preferred_element_type=f32) + bo_ref[0]
+    qm = qmask[..., None] > 0                           # [TW, S, 1]
+    h = _ln(x16 + jnp.where(qm, attn.reshape(TW, S, C), 0.0),
+            ln1s_ref[0], ln1b_ref[0])
+    h = jnp.where(qm, h, 0.0)
+    ff = jnp.dot(h.reshape(TW * S, C).astype(dt), f1w_ref[:],
+                 preferred_element_type=f32) + f1b_ref[0]
+    ff = _gelu_exact(ff)
+    ff = jnp.dot(ff.astype(dt), f2w_ref[:],
+                 preferred_element_type=f32) + f2b_ref[0]
+    out16 = _ln(h + ff.reshape(TW, S, C), ln2s_ref[0], ln2b_ref[0])
+    delta = jnp.where(qm, out16 - x16, 0.0).astype(dt)
+    # expand back: [TW, T64, S] x [TW, S, C] via ohq transpose-contraction
+    delta64 = jax.lax.dot_general(
+        ohq, delta, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    return x64.astype(f32) + delta64
+
+
+def _kernel_sel(x_ref, kv_ref, selq_ref, selk_ref, qmask_ref, kmask_ref,
+                pos_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                wo_ref, bo_ref, tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref,
+                f2w_ref, f2b_ref, ln2s_ref, ln2b_ref, o_ref,
+                *, nhead, tau_min, cross, small_tokens):
+    x = x_ref[:]
+    kv = kv_ref[:] if cross else x
+    out = _layer_body_sel(
+        x, kv, selq_ref[:], selk_ref[:] if cross else selq_ref[:],
+        qmask_ref[:], kmask_ref[:] if cross else qmask_ref[:], pos_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        tau_ref, ln1s_ref, ln1b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+        ln2s_ref, ln2b_ref, nhead, tau_min, cross, small_tokens,
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def reference_encoder_layer_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos,
+                                wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s,
+                                ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+                                nhead, tau_min, cross):
+    """jnp reference of the sel variant (CPU path + VJP source). Selects the
+    S cells, runs the standard layer math, expands the delta back onto the
+    64-cell windows: out = xw + expand(delta)."""
+    N, T64, C = xw.shape
+    S = sel_q.shape[-1]
+    f32 = jnp.float32
+    take = lambda a, s: jnp.take_along_axis(a, s[..., None], axis=1)
+    x16 = take(xw, sel_q).astype(f32)
+    posq = pos.astype(f32)[sel_q]                       # [N, S, C]
+    if cross:
+        kv16 = take(kvw, sel_k).astype(f32)
+        posk = pos.astype(f32)[sel_k]
+    else:
+        kv16, posk = x16, posq
+    q = (x16 + posq) @ wq.astype(f32) + bq
+    k = (kv16 + posk) @ wk.astype(f32) + bk
+    v = kv16 @ wv.astype(f32) + bv
+    H, D = nhead, C // nhead
+    qh = q.reshape(N, S, H, D)
+    kh = k.reshape(N, S, H, D)
+    vh = v.reshape(N, S, H, D)
+    qh = qh * jax.lax.rsqrt(jnp.sum(qh * qh, -1, keepdims=True) + 1e-24)
+    kh = kh * jax.lax.rsqrt(jnp.sum(kh * kh, -1, keepdims=True) + 1e-24)
+    scale = 1.0 / jnp.maximum(tau[0], tau_min)
+    logits = jnp.einsum('nthd,nshd->nhts', qh * scale, kh)
+    logits = jnp.where(kmask[:, None, None, :] > 0, logits, -30000.0)
+    p = jax.nn.softmax(logits, axis=-1)
+    p = jnp.where(jnp.any(kmask > 0, -1)[:, None, None, None], p, 0.0)
+    attn = jnp.einsum('nhts,nshd->nthd', p, vh).reshape(N, S, C)
+    attn = attn @ wo.astype(f32) + bo
+    qm = qmask[..., None]
+    h = _ln(x16 + jnp.where(qm > 0, attn, 0.0), ln1s, ln1b)
+    h = jnp.where(qm > 0, h, 0.0)
+    ff = jax.nn.gelu(h @ f1w.astype(f32) + f1b, approximate=False)
+    ff = ff @ f2w.astype(f32) + f2b
+    out16 = _ln(h + ff, ln2s, ln2b)
+    delta = jnp.where(qm > 0, out16 - x16, 0.0)
+
+    def expand(xw_n, sel_n, delta_n):
+        return jnp.zeros((T64, C), f32).at[sel_n].add(delta_n)
+
+    delta64 = jax.vmap(expand)(xw, sel_q, delta)
+    return (xw.astype(f32) + delta64).astype(xw.dtype)
+
+
+def _pallas_forward_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
+                        nhead, tau_min, cross):
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    N, T64, C = xw.shape
+    S = sel_q.shape[-1]
+    F = f1w.shape[1]
+    TW = TILE_WINDOWS
+    padded = ((N + TW - 1) // TW) * TW
+    if padded != N:
+        padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+        xw, kvw, qmask, kmask = (padz(xw), padz(kvw), padz(qmask), padz(kmask))
+        sel_q, sel_k = padz(sel_q), padz(sel_k)
+    dt = xw.dtype
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    vec_specs = [
+        pl.BlockSpec((TW, T64, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, T64, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TW, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T64, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    param_specs = [
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    ]
+    kernel = functools.partial(_kernel_sel, nhead=nhead, tau_min=tau_min,
+                               cross=cross, small_tokens=S)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((padded, T64, C), xw.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(padded // TW,),
+            in_specs=vec_specs + param_specs,
+            out_specs=pl.BlockSpec((TW, T64, C), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=_INTERPRET,
+    )(xw, kvw, sel_q, sel_k, qmask.astype(jnp.float32),
+      kmask.astype(jnp.float32), pos,
+      mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
+      tau.reshape(1, 1).astype(jnp.float32), row(ln1s), row(ln1b),
+      mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s), row(ln2b))
+    return out[:N]
+
+
+def _forward_sel_dispatch(xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
+                          nhead, tau_min, cross):
+    C = xw.shape[-1]
+    S = sel_q.shape[-1]
+    pallas_ok = C % 128 == 0 and S % 8 == 0
+    if pallas_ok and (_INTERPRET or jax.default_backend() == 'tpu'):
+        return _pallas_forward_sel(
+            xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
+            nhead=nhead, tau_min=tau_min, cross=cross,
+        )
+    return reference_encoder_layer_sel(
+        xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
+        nhead=nhead, tau_min=tau_min, cross=cross,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(24, 25, 26))
+def fused_encoder_layer_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos,
+                            wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b,
+                            f1w, f1b, f2w, f2b, ln2s, ln2b,
+                            nhead: int, tau_min: float, cross: bool):
+    """Token-bucketed fused layer: xw/kvw [N, T64, C] window tiles; sel_q/sel_k
+    [N, S] int32 in-window cell ids; qmask/kmask [N, S]. Returns xw + the
+    layer delta expanded onto the selected cells."""
+    return _forward_sel_dispatch(
+        xw, kvw, sel_q, sel_k, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
+        wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+        nhead=nhead, tau_min=tau_min, cross=cross,
+    )
+
+
+def _fwd_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, wq, bq, wk, bk, wv,
+             bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+             nhead, tau_min, cross):
+    out = _forward_sel_dispatch(
+        xw, kvw, sel_q, sel_k, qmask, kmask, pos, wq, bq, wk, bk, wv, bv,
+        wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s, ln2b,
+        nhead=nhead, tau_min=tau_min, cross=cross,
+    )
+    return out, (xw, kvw, sel_q, sel_k, qmask, kmask, pos, wq, bq, wk, bk,
+                 wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b, ln2s,
+                 ln2b)
+
+
+def _bwd_sel(nhead, tau_min, cross, residuals, g):
+    """Chunked XLA-recompute backward over the jnp sel reference (the same
+    strategy as _bwd_recompute; a fused Pallas backward is the planned
+    follow-up — the sel bucket is ~1/5 of forward FLOPs so the recompute
+    backward is proportionally cheap)."""
+    (xw, kvw, sel_q, sel_k, qmask, kmask, pos) = residuals[:7]
+    weights = residuals[7:]
+    N = xw.shape[0]
+    CH = BWD_CHUNK
+    padded = ((N + CH - 1) // CH) * CH
+    padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+    xs = tuple(
+        a.reshape(padded // CH, CH, *a.shape[1:])
+        for a in (padz(xw), padz(kvw), padz(sel_q), padz(sel_k), padz(qmask),
+                  padz(kmask), padz(g))
+    )
+
+    def chunk_grad(carry, chunk):
+        cxw, ckvw, csq, csk, cqm, ckm, cg = chunk
+
+        def f(cx, ckv, *w):
+            return reference_encoder_layer_sel(
+                cx, ckv, csq, csk, cqm, ckm, pos, *w, nhead=nhead,
+                tau_min=tau_min, cross=cross,
+            )
+
+        _, vjp = jax.vjp(f, cxw, ckvw, *weights)
+        grads = vjp(cg)
+        carry = jax.tree.map(jnp.add, carry, tuple(grads[2:]))
+        return carry, (grads[0], grads[1])
+
+    w_zero = tuple(jnp.zeros_like(w) for w in weights)
+    gw_sum, (gx_all, gkv_all) = jax.lax.scan(chunk_grad, w_zero, xs)
+    gx = gx_all.reshape(padded, *xw.shape[1:])[:N]
+    gkv = (gkv_all.reshape(padded, *kvw.shape[1:])[:N] if cross
+           else jnp.zeros_like(kvw))
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (gx, gkv, zi(sel_q), zi(sel_k), jnp.zeros_like(qmask),
+            jnp.zeros_like(kmask), jnp.zeros_like(pos)) + gw_sum
+
+
+fused_encoder_layer_sel.defvjp(_fwd_sel, _bwd_sel)
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def main():
             @jax.jit
             def loop():
                 def body(c, _):
-                    return stage_scalar_fn(c) * 1e-30, None
+                    return stage_scalar_fn(c).astype(jnp.float32) * 1e-30, None
                 out, _ = jax.lax.scan(
                     body, jnp.float32(0.0), None, length=reps)
                 return out
@@ -127,7 +127,11 @@ def main():
     # stage: SiamWCA backbone (with the production compaction caps)
     bb = SiamWCA(mcfg.BACKBONE_3D,
                  tuple(int(v) for v in cfg.RUNTIME['MAX_VOXELS']),
-                 occ_window_caps=caps)
+                 occ_window_caps=caps,
+                 occ_small_caps=tuple(
+                     int(v) for v in cfg.RUNTIME.get('OCC_SMALL_CAPS', ())),
+                 occ_small_tokens=int(
+                     cfg.RUNTIME.get('OCC_SMALL_TOKENS', 16)))
     v_bb = jax.jit(lambda r: bb.init(r, vs_cur, vs_prv, False))(
         jax.random.PRNGKey(0))
 
