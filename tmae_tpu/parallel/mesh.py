@@ -26,12 +26,26 @@ def make_data_mesh(devices=None) -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (leading batch dim) onto the mesh's data axis."""
+    """Place a host batch (leading batch dim) onto the mesh's data axis.
+
+    Single-process: plain device_put. Multi-process: each process holds only
+    its LOCAL slice (the loader shards samples per process), so the global
+    array is assembled from per-process local data — the jax analog of DDP's
+    per-rank batches."""
     sharding = NamedSharding(mesh, P('data'))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
 
 
 def replicate_state(state, mesh: Mesh):
+    """Replicate train state over every device. Multi-process: device_put with
+    a fully-replicated sharding requires the same host value on all processes
+    (true here: same seed → same init; checkpoints restore identically)."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
@@ -47,6 +61,29 @@ def jit_train_step(train_step, mesh: Mesh):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def all_gather_objects(obj):
+    """Gather arbitrary picklables from every process (the reference
+    ``commu_utils.all_gather`` role, commu_utils.py:50-111). The payloads are
+    ragged across processes, so each ships as a max-size-padded uint8 array —
+    ``process_allgather`` itself requires identical shapes on every process.
+    Returns a list of ``process_count`` objects, ordered by process index."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64))
+    cap = int(sizes.max())
+    padded = np.zeros(cap, np.uint8)
+    padded[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [
+        pickle.loads(gathered[i, :int(sizes[i, 0])].tobytes())
+        for i in range(gathered.shape[0])
+    ]
 
 
 def process_sharded_indices(n: int, process_index: int, process_count: int,

@@ -29,14 +29,16 @@ def save_checkpoint(ckpt_dir, state, step: int, max_keep: int = 5):
         path, serialization.to_state_dict(jax.device_get(state)), force=True
     )
     ckptr.wait_until_finished()
-    # retention pruning by step (train_utils.py:218-235 equivalent)
-    ckpts = sorted(
-        ckpt_dir.glob('checkpoint_*'),
-        key=lambda p: int(p.name.split('_')[-1]),
-    )
-    for old in ckpts[:-max_keep]:
-        import shutil
-        shutil.rmtree(old, ignore_errors=True)
+    # retention pruning by step (train_utils.py:218-235 equivalent);
+    # primary process only — the save above is collective, the rmtree is not
+    if jax.process_index() == 0:
+        ckpts = sorted(
+            ckpt_dir.glob('checkpoint_*'),
+            key=lambda p: int(p.name.split('_')[-1]),
+        )
+        for old in ckpts[:-max_keep]:
+            import shutil
+            shutil.rmtree(old, ignore_errors=True)
     return path
 
 

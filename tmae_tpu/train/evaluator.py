@@ -132,16 +132,22 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
                                    pred.astype(np.float64)).max(axis=1)
                 for t in recall_threshs:
                     recall[t] += int((best > t).sum())
-    if jax.process_count() > 1:  # pragma: no cover - multi-host only
-        from jax.experimental import multihost_utils
-        gathered = multihost_utils.process_allgather(det_annos)
-        det_annos = [a for part in gathered for a in part]
+    if jax.process_count() > 1:
+        # ragged per-rank payloads: padded-pickle allgather, not a raw
+        # process_allgather (which needs identical shapes on every process)
+        from ..parallel.mesh import all_gather_objects
+        gathered = all_gather_objects(det_annos)
+        # strided per-process sharding → zip-interleave restores dataset
+        # order; drop the equal-length padding duplicates at the tail
+        # (reference merge_results_dist, common_utils.py:244-265)
+        det_annos = [a for tup in zip(*gathered) for a in tup]
+        det_annos = det_annos[:len(dataset)]
     sec_per_sample = infer_time / max(n_samples, 1)
     logger.info('eval: %.4f sec/sample (%d samples)', sec_per_sample, n_samples)
     for t in recall_threshs:
         logger.info('recall_rcnn_%.1f: %.4f', t,
                     recall[t] / max(total_gt, 1))
-    if result_dir is not None:
+    if result_dir is not None and jax.process_index() == 0:
         result_dir = Path(result_dir)
         result_dir.mkdir(parents=True, exist_ok=True)
         with open(result_dir / 'result.pkl', 'wb') as f:

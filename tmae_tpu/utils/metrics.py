@@ -46,6 +46,11 @@ class MetricsLogger:
     SummaryWriter imports; replaces tensorboardX, train_utils.py:128-132)."""
 
     def __init__(self, log_dir, enable_tensorboard=True, wandb_project=None):
+        # log_dir=None → disabled sink (non-zero ranks in multi-host runs)
+        if log_dir is None:
+            self.log_dir = None
+            self._jsonl = self._tb = self._wandb = None
+            return
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / 'metrics.jsonl', 'a')
@@ -68,6 +73,8 @@ class MetricsLogger:
                 self._wandb = None
 
     def log(self, step: int, scalars: dict):
+        if self._jsonl is None:
+            return
         rec = {'step': int(step)}
         for k, v in scalars.items():
             try:
@@ -84,6 +91,7 @@ class MetricsLogger:
             self._wandb.log(rec, step=step)
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

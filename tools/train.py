@@ -64,8 +64,10 @@ def parse_config():
                         help='loader prefetch depth (threaded, not procs)')
     parser.add_argument('--launcher', choices=['none', 'jax', 'pytorch',
                                                'slurm'], default='none',
-                        help="'jax' initializes jax.distributed for "
-                             'multi-host; pytorch/slurm accepted as aliases')
+                        help='any non-none value initializes jax.distributed '
+                             'for multi-host (coordinator from torchrun-style '
+                             'MASTER_ADDR/WORLD_SIZE/RANK env when present, '
+                             'else jax auto-detection)')
     parser.add_argument('--local_rank', type=int, default=None,
                         help='ignored (torch-DDP artifact)')
     parser.add_argument('--tcp_port', type=int, default=18888,
@@ -93,35 +95,64 @@ def parse_config():
     return args, cfg
 
 
+def init_distributed(args):
+    """Initialize ``jax.distributed`` for multi-host runs. MUST run before any
+    other jax call — JAX refuses ``initialize()`` once the backend has been
+    touched. Coordinator/rank resolution mirrors the reference launchers
+    (``common_utils.py:179-219``): torchrun-style env (MASTER_ADDR,
+    WORLD_SIZE, RANK) when present — so reference launch scripts work
+    unmodified — else jax auto-detection (TPU pod / SLURM / MPI)."""
+    if args.launcher == 'none':
+        return
+    import os
+    addr = os.environ.get('MASTER_ADDR')
+    nproc = os.environ.get('WORLD_SIZE')
+    rank = os.environ.get('RANK')
+    if addr and nproc and rank:
+        port = os.environ.get('MASTER_PORT', str(args.tcp_port))
+        jax.distributed.initialize(
+            coordinator_address=f'{addr}:{port}',
+            num_processes=int(nproc), process_id=int(rank),
+        )
+    else:
+        jax.distributed.initialize()
+
+
 def main():
     args, cfg = parse_config()
+    init_distributed(args)  # before ANY backend-touching jax call
     n_dev = jax.device_count()
+    n_proc = jax.process_count()
     per_chip = int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU)
     batch_size = args.batch_size or per_chip * n_dev
+    if batch_size % n_proc:
+        raise ValueError(
+            f'global batch {batch_size} not divisible by {n_proc} processes')
+    local_batch = batch_size // n_proc  # what each process's loader yields
     epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
     seed = 666 if args.fix_random_seed else int(time.time()) % 2 ** 31
 
     out_dir = REPO / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
     ckpt_dir = out_dir / 'ckpt'
     out_dir.mkdir(parents=True, exist_ok=True)
+    # rank-gated logging (reference create_logger, common_utils.py:148-162):
+    # only process 0 writes the log file / INFO stream
+    handlers = [logging.StreamHandler()]
+    if jax.process_index() == 0:
+        handlers.append(logging.FileHandler(
+            out_dir / f'log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt'
+        ))
     logging.basicConfig(
-        level=logging.INFO,
+        level=logging.INFO if jax.process_index() == 0 else logging.WARNING,
         format='%(asctime)s %(levelname)s %(message)s',
-        handlers=[
-            logging.StreamHandler(),
-            logging.FileHandler(
-                out_dir / f'log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt'
-            ),
-        ],
+        handlers=handlers,
     )
     logger = logging.getLogger('train')
     logger.info('devices: %s', jax.devices())
     log_config_to_file(cfg, logger=logger)
 
-    if args.launcher == 'jax':
-        jax.distributed.initialize()  # multi-host (coordinator from env)
     dataset, loader = build_dataloader(
-        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=True,
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, local_batch, training=True,
         runtime_cfg=cfg.RUNTIME, seed=seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
@@ -215,8 +246,9 @@ def main():
 
     from tmae_tpu.utils.metrics import MetricsLogger
     metrics_log = MetricsLogger(
-        out_dir,
-        wandb_project=args.wandb_proj_name if args.wandb else None)
+        out_dir if jax.process_index() == 0 else None,
+        wandb_project=(args.wandb_proj_name
+                       if args.wandb and jax.process_index() == 0 else None))
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         t_epoch = time.time()
@@ -248,7 +280,9 @@ def main():
             fwd_t += time.time() - t0
             t0 = time.time()
         logger.info('epoch %d done in %.1fs', epoch, time.time() - t_epoch)
-        if (epoch + 1) % args.ckpt_save_interval == 0 and jax.process_index() == 0:
+        if (epoch + 1) % args.ckpt_save_interval == 0:
+            # ALL processes must call: Orbax saves are collective
+            # (sync_global_devices); the primary host does the writing
             path = save_checkpoint(ckpt_dir, jax.device_get(state),
                                    int(state.step), args.max_ckpt_save_num)
             logger.info('saved %s', path)
@@ -259,7 +293,7 @@ def main():
         if args.fixed_gap_eval >= 0:
             eval_cfg.DATA_CONFIG.FIXED_GAP = args.fixed_gap_eval
         eval_ds, eval_loader = build_dataloader(
-            eval_cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=False,
+            eval_cfg.DATA_CONFIG, cfg.CLASS_NAMES, local_batch, training=False,
             runtime_cfg=cfg.RUNTIME, seed=seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
