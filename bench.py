@@ -99,7 +99,9 @@ def child():
     @jax.jit
     def infer(variables, b):
         out = model.apply(variables, b, train=False)
-        return centerpoint_predict(cfg, out, nms_on_device=nms_device)
+        # serving hot path: approximate top-k (recall 0.99); eval uses exact
+        return centerpoint_predict(cfg, out, nms_on_device=nms_device,
+                                   exact_topk=False)
 
     def full_infer(b):
         boxes, scores, labels, valid = jax.device_get(infer(variables, b))

@@ -15,6 +15,19 @@ Schema (public):
   Label   { Box box = 1; Type type = 3; string id = 4; }
   Label.Box { double center_x = 1; center_y = 2; center_z = 3;
               width = 4; length = 5; height = 6; heading = 7; }
+
+NOTE on the width/length field numbers: the public waymo-open-dataset
+``label.proto`` declares the dimension fields OUT of numeric order::
+
+    // Dimensions of the box. length: dim x. width: dim y. height: dim z.
+    optional double length = 5;
+    optional double width = 4;
+    optional double height = 6;
+
+i.e. length (dx) is field **5** and width (dy) is field **4** even though
+length is declared first. ``encode_box`` below writes dy→4 and dx→5
+accordingly; assuming sequential numbering from declaration order would
+transpose every non-square box.
   Label.Type { UNKNOWN = 0; VEHICLE = 1; PEDESTRIAN = 2; SIGN = 3;
                CYCLIST = 4; }
 """

@@ -138,7 +138,7 @@ def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
 
 def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
                    feature_map_stride: int, class_id_maps,
-                   nms_on_device: bool = True, exact_topk: bool = False):
+                   nms_on_device: bool = True, exact_topk: bool = True):
     """Static-shape decode + per-sample class-agnostic rotated NMS
     (center_head.py:281-343 + model_nms_utils.py:6-25).
 

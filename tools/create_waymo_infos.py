@@ -61,11 +61,24 @@ def decode_tfrecord_sequence(tfrecord_path):
         pts = np.concatenate(points, axis=0)
         xyz = pts[:, 3:6]
         feat = pts[:, 1:3]  # intensity, elongation
-        # NLZ flag: -1 = outside any no-label zone (the reader drops
-        # points with NLZ >= 0); real flags come from the range-image channel
-        nlz = np.full((len(xyz), 1), -1.0, np.float32)
+        # NLZ flag from range-image channel 3 (reference waymo_utils
+        # convert_range_image_to_point_cloud keeps it as the 6th column; the
+        # reader drops points with NLZ >= 0). Reproduce frame_utils' per-laser
+        # masking (range > 0, calibration-name order, first return) so the
+        # flags align 1:1 with the returned points.
+        nlz_parts = []
+        for c in sorted(frame.context.laser_calibrations,
+                        key=lambda c: c.name):
+            ri = range_images[c.name][0]
+            ri_t = np.array(ri.data, np.float32).reshape(ri.shape.dims)
+            nlz_parts.append(ri_t[ri_t[..., 0] > 0][:, 3])
+        nlz = np.concatenate(nlz_parts).astype(np.float32)
+        if len(nlz) != len(xyz):  # fail loudly, never emit wrong flags
+            raise RuntimeError(
+                f'NLZ channel decode misaligned with point cloud '
+                f'({len(nlz)} vs {len(xyz)} points)')
         points6 = np.concatenate(
-            [xyz, feat, nlz], axis=1).astype(np.float32)
+            [xyz, feat, nlz[:, None]], axis=1).astype(np.float32)
         names, boxes = [], []
         for label in frame.laser_labels:
             b = label.box
