@@ -56,23 +56,30 @@ def _sh_intersection_area_flat(boxes_a: jnp.ndarray,
     slot = jax.lax.broadcasted_iota(jnp.int32, (K, S), 1)
 
     for e in range(4):
+        active = slot < nvert[:, None]  # [K, S]
+        # Pad slots duplicate the FIRST vertex, so roll(-1) realizes the
+        # cyclic "next vertex" for every active slot (the wrap at nvert-1
+        # lands on a pad = vertex 0) with NO take_along_axis gathers —
+        # per-row dynamic gathers scalarize on TPU and dominated this op
+        # (~300 ms for 500x500 pairs).
+        first = poly[:, :1]
+        poly = jnp.where(active[..., None], poly, first)
         e0 = cb[:, e]  # [K, 2]
         e1 = cb[:, (e + 1) % 4]
         ex = e1 - e0
-        active = slot < nvert[:, None]  # [K, S]
         d = ex[:, None, 0] * (poly[..., 1] - e0[:, None, 1]) - ex[:, None, 1] * (
             poly[..., 0] - e0[:, None, 0]
         )  # [K, S] signed distance (CCW inside ≥ 0)
-        inside = (d >= 0) & active
-        nxt = jnp.where(slot + 1 < nvert[:, None], slot + 1, 0)
-        p_next = jnp.take_along_axis(poly, nxt[..., None], axis=1)
-        d_next = jnp.take_along_axis(d, nxt, axis=1)
-        inside_next = jnp.take_along_axis(inside, nxt, axis=1)
+        inside_geo = d >= 0
+        inside = inside_geo & active
+        p_next = jnp.roll(poly, -1, axis=1)
+        d_next = jnp.roll(d, -1, axis=1)
+        inside_next = jnp.roll(inside_geo, -1, axis=1)
         # intersection point of segment (p, p_next) with the clip line
         denom = d - d_next
         t = d / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
         xpt = poly + t[..., None] * (p_next - poly)
-        crossing = (inside ^ inside_next) & active
+        crossing = (inside_geo ^ inside_next) & active
         # emit: p if inside, then xpt if crossing → interleaved 2S buffer
         emit_pts = jnp.stack([poly, xpt], axis=2).reshape(K, 2 * S, 2)
         emit_ok = jnp.stack([inside, crossing], axis=2).reshape(K, 2 * S)
@@ -85,10 +92,11 @@ def _sh_intersection_area_flat(boxes_a: jnp.ndarray,
         poly = jnp.einsum('kes,ke2->ks2', onehot, emit_pts)
         nvert = jnp.minimum(jnp.sum(emit_ok, axis=1), S).astype(jnp.int32)
 
-    # shoelace over the (ordered) clipped polygon
+    # shoelace over the (ordered) clipped polygon; pads again duplicate the
+    # first vertex so roll(-1) closes the cycle and pad edges contribute 0
     active = slot < nvert[:, None]
-    nxt = jnp.where(slot + 1 < nvert[:, None], slot + 1, 0)
-    p_next = jnp.take_along_axis(poly, nxt[..., None], axis=1)
+    poly = jnp.where(active[..., None], poly, poly[:, :1])
+    p_next = jnp.roll(poly, -1, axis=1)
     crossz = poly[..., 0] * p_next[..., 1] - poly[..., 1] * p_next[..., 0]
     area = 0.5 * jnp.abs(jnp.sum(jnp.where(active, crossz, 0.0), axis=1))
     return jnp.where(nvert >= 3, area, 0.0)
