@@ -82,8 +82,25 @@ def load_reference():
           group_inner_inds_wrapper=group_inner_inds_wrapper)
 
     # spconv placeholders: SSTInputLayer / the window blocks never touch them
-    _stub('pcdet.utils.spconv_utils', replace_feature=None, spconv=None,
-          post_act_block=None, SparseBasicBlock=None, post_act_block_GN=None)
+    # real (pure-torch, semantically exact) spconv + torch_scatter shims so
+    # the reference's FULL detector graph can run as a parity oracle; the
+    # reference's own pcdet.utils.spconv_utils then imports for real
+    import ref_spconv_shim as shim
+
+    import torch.nn as _nn
+
+    spconv_mod = _stub(
+        'spconv',
+        SparseConvTensor=shim.SparseConvTensor,
+        SubMConv2d=shim.SubMConv2d,
+        SparseConv2d=shim.SparseConv2d,
+        SparseSequential=shim.SparseSequential,
+        SparseModule=_nn.Module,
+    )
+    sys.modules['spconv.pytorch'] = spconv_mod
+    spconv_mod.pytorch = spconv_mod
+    _stub('torch_scatter', scatter=shim.scatter, scatter_max=shim.scatter_max,
+          scatter_min=shim.scatter_min)
 
     def _no_cuda(*a, **k):
         raise RuntimeError('CUDA op not available in parity tests')
@@ -110,6 +127,10 @@ def load_reference():
 
     _stub('numba', jit=_jit, njit=_jit, prange=range)
     _stub('SharedArray', attach=_no_cuda, create=_no_cuda, delete=_no_cuda)
+    # the reference hardcodes .cuda() in a few __init__s
+    # (center_head.py:68); make it a no-op in this CPU-only oracle env
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
     return sys.modules['pcdet']
 
 
