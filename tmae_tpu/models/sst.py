@@ -252,19 +252,24 @@ class DenseEncoderLayer(nn.Module):
             # Invariant: unoccupied cells stay zero (kernels mask their output
             # per qmask; unvisited windows inherit the already-masked input).
             from ..ops.occ_compact import (
-                BucketedCompact, gather_windows, scatter_windows_into,
+                BucketedCompact, gather_windows_padded, pad_grid,
+                scatter_windows_into_padded, unpad_grid,
             )
 
             hw = grid.grid_hw
             kvg = kv_grid if cross else grid
             B = grid.x.shape[0]
             flatn = lambda a: a.reshape(-1, *a.shape[2:])
+            # pad ONCE per (layer, shift); gather/scatter run against the
+            # padded carrier and the scatter aliases it in place
+            xp = pad_grid(grid.x.astype(dt), w, self.shift)
+            kvp = pad_grid(kvg.x.astype(dt), w, self.shift) if cross else None
 
-            def run_full(ci, x):
+            def run_full(ci, xp):
                 cap = ci.idx.shape[1]
-                xw = gather_windows(x, ci.idx, hw, w, self.shift)
-                kvw = (gather_windows(kvg.x.astype(dt), ci.idx, hw, w,
-                                      self.shift) if cross else xw)
+                xw = gather_windows_padded(xp, ci.idx, w)
+                kvw = (gather_windows_padded(kvp, ci.idx, w)
+                       if cross else xw)
                 qm = ci.qmask
                 km = ci.kmask if cross else qm
                 fn = (pallas_encoder.fused_encoder_layer if use_pallas
@@ -274,17 +279,17 @@ class DenseEncoderLayer(nn.Module):
                     nhead=self.nhead, tau_min=self.tau_min, cross=cross,
                 )
                 out = out.reshape(B, cap, T, C)
-                return scatter_windows_into(out, ci.idx, x, hw, w, self.shift)
+                return scatter_windows_into_padded(out, ci.idx, xp, w)
 
-            def run_small(si, x):
+            def run_small(si, xp):
                 # token-bucketed kernel: layer math at S = si.sel.shape[-1]
                 # tokens; its output is xw + the expanded delta, i.e. the full
                 # window content to write back (fused_encoder_layer_sel
                 # dispatches to the jnp reference off-TPU)
                 cap = si.idx.shape[1]
-                xw = gather_windows(x, si.idx, hw, w, self.shift)
-                kvw = (gather_windows(kvg.x.astype(dt), si.idx, hw, w,
-                                      self.shift) if cross else xw)
+                xw = gather_windows_padded(xp, si.idx, w)
+                kvw = (gather_windows_padded(kvp, si.idx, w)
+                       if cross else xw)
                 sel_k = si.ksel if cross else si.sel
                 km = si.kmask if cross else si.qmask
                 out = pallas_encoder.fused_encoder_layer_sel(
@@ -293,16 +298,16 @@ class DenseEncoderLayer(nn.Module):
                     self.nhead, self.tau_min, cross,
                 )
                 out = out.reshape(B, cap, T, C)
-                return scatter_windows_into(out, si.idx, x, hw, w, self.shift)
+                return scatter_windows_into_padded(out, si.idx, xp, w)
 
-            x = grid.x.astype(dt)
             if isinstance(compact, BucketedCompact):
                 if compact.full is not None and compact.full.idx.shape[1]:
-                    x = run_full(compact.full, x)
+                    xp = run_full(compact.full, xp)
                 if compact.small is not None and compact.small.idx.shape[1]:
-                    x = run_small(compact.small, x)
+                    xp = run_small(compact.small, xp)
             else:
-                x = run_full(compact, x)
+                xp = run_full(compact, xp)
+            x = unpad_grid(xp, hw, w, self.shift)
             return DenseGrid(x=x, occ=grid.occ)
         if use_pallas:
             # grid-native kernel: window partition + layer + inverse partition

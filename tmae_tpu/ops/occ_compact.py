@@ -366,12 +366,21 @@ scatter_windows_into.defvjp(_scatter_into_fwd, _scatter_into_bwd)
 def gather_window_occ(occ: jnp.ndarray, idx, grid_hw, window: int,
                       shift: bool) -> jnp.ndarray:
     """Per-slot key/query mask [B, cap, w*w] (float 0/1) for gathered windows.
-    The occupancy ships as 8 identical f32 lanes (lane-dim reshapes are
-    unsupported in Mosaic; 8 lanes keep the tile small)."""
-    occ8 = jnp.broadcast_to(
-        occ[..., None].astype(jnp.float32), (*occ.shape, 8))
-    ow = gather_windows(occ8, idx, grid_hw, window, shift)  # [B, cap, T, 8]
-    return jax.lax.stop_gradient(jnp.max(ow, axis=-1))
+
+    Pure XLA: the [B, H, W] bool occupancy is tiny next to the feature grid,
+    so a host-side window_view + row take_along beats shipping an 8-lane f32
+    copy through the Pallas gather (measured ~2 ms/frame of pad+gather at
+    468² across all plan builds)."""
+    B = occ.shape[0]
+    H, W = grid_hw
+    nwy, nwx, _, _ = window_geometry((H, W), window)
+    ow = window_view(occ[..., None].astype(jnp.float32), window,
+                     shift)[..., 0]                     # [B, NW, T]
+    zero = jnp.zeros_like(ow[:, :1])
+    ow = jnp.concatenate([ow, zero], axis=1)            # dummy window NW
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], nwy * nwx)
+    out = jnp.take_along_axis(ow, flat[..., None], axis=1)
+    return jax.lax.stop_gradient(out)
 
 
 @flax.struct.dataclass
@@ -402,6 +411,132 @@ def build_compact_info(occ, window, shift, cap, grid_hw,
     kmask = (gather_window_occ(kv_occ, idx, grid_hw, window, shift)
              if kv_occ is not None else None)
     return CompactInfo(idx, valid, qmask, kmask, nocc)
+
+
+# ---------------------------------------------------------------------------
+# Padded-carrier variants: the caller pads the grid ONCE per (layer, shift)
+# and gathers/scatters against the padded array directly — the jnp.pad /
+# slice copies around every call were ~9 ms/frame at 468² (3-4 full-grid
+# passes per encoder layer).
+# ---------------------------------------------------------------------------
+
+
+def pad_grid(xg, window: int, shift: bool):
+    """[B, H, W, C] → the canonical padded geometry ([B, Hp + w, Wp, C])."""
+    return _pad_grid(xg, window, shift)
+
+
+def unpad_grid(xp, grid_hw, window: int, shift: bool):
+    H, W = grid_hw
+    off = window // 2 if shift else window
+    return xp[:, off:off + H, off:off + W, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_windows_padded(xp, idx, window: int):
+    """gather_windows against an already-padded grid [B, Hp + w, Wp, C]."""
+    if _use_pallas():
+        return _gather_pallas(xp, idx, window)
+    return _gather_ref_padded(xp, idx, window)
+
+
+def _gather_ref_padded(xp, idx, window):
+    """jnp reference over the padded grid: direct window slicing."""
+    B, Hp2, Wp, C = xp.shape
+    nwx = Wp // window
+    nwy = (Hp2 - window) // window
+    xw = xp[:, :nwy * window].reshape(
+        B, nwy, window, nwx, window, C).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(B, nwy * nwx, window * window, C)
+    zero = jnp.zeros_like(xw[:, :1])
+    xw = jnp.concatenate([xw, zero], axis=1)
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], nwy * nwx)
+    return jnp.take_along_axis(xw, flat[..., None, None], axis=1)
+
+
+def _gather_padded_fwd(xp, idx, window):
+    return gather_windows_padded(xp, idx, window), (idx, xp.shape)
+
+
+def _gather_padded_bwd(window, res, g):
+    idx, shape = res
+    zeros = jnp.zeros(shape, g.dtype)
+    dx = scatter_windows_into_padded(g, idx, zeros, window)
+    return dx, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+gather_windows_padded.defvjp(_gather_padded_fwd, _gather_padded_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scatter_windows_into_padded(xw, idx, init_p, window: int):
+    """scatter-overwrite against an already-padded init [B, Hp + w, Wp, C];
+    init is aliased into the output on the Pallas path."""
+    if _use_pallas():
+        B, cap, T, C = xw.shape
+        wy, wx = idx[..., 0], idx[..., 1]
+        out_spec = pl.BlockSpec(
+            (1, window, window, C),
+            lambda b, i, wy_ref, wx_ref: (b, wy_ref[b, i], wx_ref[b, i], 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [
+            out_spec,
+            pl.BlockSpec(
+                (1, 1, T, C),
+                lambda b, i, wy_ref, wx_ref: (b, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        return pl.pallas_call(
+            _scatter_kernel_init,
+            out_shape=jax.ShapeDtypeStruct(init_p.shape, xw.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, cap),
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            input_output_aliases={2: 0},
+            interpret=_INTERPRET,
+        )(wy, wx, init_p.astype(xw.dtype), xw)
+    return _scatter_into_ref_padded(xw, idx, init_p, window)
+
+
+def _scatter_into_ref_padded(xw, idx, init_p, window):
+    B, Hp2, Wp, C = init_p.shape
+    nwx = Wp // window
+    nwy = (Hp2 - window) // window
+    T = window * window
+    initw = init_p[:, :nwy * window].reshape(
+        B, nwy, window, nwx, window, C).transpose(0, 1, 3, 2, 4, 5)
+    initw = initw.reshape(B, nwy * nwx, T, C).astype(xw.dtype)
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], nwy * nwx)
+
+    def one(initb, xwb, fb):
+        buf = jnp.concatenate(
+            [initb, jnp.zeros((1, T, C), xw.dtype)], axis=0)
+        return buf.at[fb].set(xwb, mode='drop')[:nwy * nwx]
+
+    full = jax.vmap(one)(initw, xw, flat)
+    full = full.reshape(B, nwy, nwx, window, window, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, nwy * window, Wp, C)
+    return jnp.concatenate(
+        [full, init_p[:, nwy * window:].astype(xw.dtype)], axis=1)
+
+
+def _scatter_into_padded_fwd(xw, idx, init_p, window):
+    return scatter_windows_into_padded(xw, idx, init_p, window), idx
+
+
+def _scatter_into_padded_bwd(window, idx, g):
+    dxw = gather_windows_padded(g, idx, window)
+    dinit = scatter_windows_into_padded(jnp.zeros_like(dxw), idx, g, window)
+    return dxw, np.zeros(idx.shape, jax.dtypes.float0), dinit
+
+
+scatter_windows_into_padded.defvjp(_scatter_into_padded_fwd,
+                                   _scatter_into_padded_bwd)
 
 
 # ---------------------------------------------------------------------------
