@@ -152,6 +152,45 @@ def child():
     fps = done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
     emit('final', fps)
 
+    # optional occupancy-sensitivity sweep (stderr notes only; the driver
+    # JSON above is unchanged): re-render the lidar scene at 0.5x/2x
+    # azimuthal density — same static shapes, so no recompile — and report
+    # fps + occupied-window counts vs the compaction caps (VERDICT r2 #7)
+    if os.environ.get('BENCH_DENSITY_SWEEP'):
+        import numpy as np
+        for dens in (0.5, 2.0):
+            dcfg = cfg_from_yaml_file(
+                REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+            dcfg.DATA_CONFIG.SYNTHETIC_DENSITY = dens
+            _, dloader = build_dataloader(
+                dcfg.DATA_CONFIG, dcfg.CLASS_NAMES, batch_size=bench_batch,
+                training=False, runtime_cfg=dcfg.RUNTIME, seed=0,
+            )
+            db = next(iter(dloader))
+            ddev = {k: jnp.asarray(v) for k, v in db.items()
+                    if k in dev_batch}
+            # occupied stride-1 windows of the current frame (host count)
+            pts = np.asarray(db['points'][0])
+            m = np.asarray(db['point_mask'][0])
+            pr = np.asarray(dcfg.DATA_CONFIG.POINT_CLOUD_RANGE, np.float32)
+            ix = np.clip(((pts[m, 0] - pr[0]) / 0.32).astype(int), 0, 467)
+            iy = np.clip(((pts[m, 1] - pr[1]) / 0.32).astype(int), 0, 467)
+            og = np.zeros((468, 468), bool)
+            og[iy, ix] = True
+            op = np.zeros((472, 472), bool)
+            op[:468, :468] = og
+            nwin = int(op.reshape(59, 8, 59, 8).any(axis=(1, 3)).sum())
+            full_infer(ddev)
+            t0 = time.perf_counter()
+            n = 10
+            for _ in range(n):
+                full_infer(ddev)
+            dfps = n * ddev['points'].shape[0] / (time.perf_counter() - t0)
+            note(f'density {dens}x: {dfps:.2f} fps (unpipelined), '
+                 f'{int(m.sum())} pts, {nwin} occupied stride-1 windows '
+                 f'(caps {dcfg.RUNTIME.get("OCC_SMALL_CAPS")} small + '
+                 f'{dcfg.RUNTIME.get("OCC_WINDOW_CAPS")} full)')
+
 
 def parent():
     deadline = time.monotonic() + BUDGET_S

@@ -83,3 +83,38 @@ def test_build_artifacts_feed_dataset(tmp_path):
     assert 'Vehicle' in db and len(db['Vehicle']) == 3
     obj = np.fromfile(root / db['Vehicle'][0]['path'], np.float32).reshape(-1, 6)
     assert np.abs(obj[:, :3]).max() < 3.0  # object-centered
+
+
+def test_nlz_from_range_images_alignment():
+    """NLZ flags align 1:1 with frame_utils' point order: per-laser in
+    calibration-name order, first return only, range>0 mask (the exact rule
+    frame_utils.convert_range_image_to_point_cloud applies)."""
+    import types
+
+    import create_waymo_infos as cwi
+
+    rng = np.random.RandomState(0)
+
+    def mk_ri(h, w, seed):
+        r = np.random.RandomState(seed)
+        data = np.zeros((h, w, 4), np.float32)
+        data[..., 0] = np.where(r.rand(h, w) < 0.6, r.rand(h, w) * 50, -1.0)
+        data[..., 3] = np.where(r.rand(h, w) < 0.3, 1.0, -1.0)
+        ri = types.SimpleNamespace(
+            data=data.ravel().tolist(),
+            shape=types.SimpleNamespace(dims=[h, w, 4]),
+        )
+        return ri, data
+
+    ri1, d1 = mk_ri(4, 8, 1)
+    ri2, d2 = mk_ri(2, 16, 2)
+    ri1_ret2, _ = mk_ri(4, 8, 9)  # second return must be ignored
+    range_images = {5: [ri2, ri1_ret2], 1: [ri1, ri1_ret2]}
+    calibs = [types.SimpleNamespace(name=5), types.SimpleNamespace(name=1)]
+
+    nlz = cwi.nlz_from_range_images(range_images, calibs)
+    want = np.concatenate([
+        d1[d1[..., 0] > 0][:, 3],  # laser 1 first (sorted by name)
+        d2[d2[..., 0] > 0][:, 3],
+    ])
+    np.testing.assert_array_equal(nlz, want.astype(np.float32))

@@ -250,6 +250,9 @@ class SyntheticONCEDataset(ONCETemporalDataset):
         # which the occupied-window compaction path exploits. Benchmarks use
         # this mode so the perf number reflects real-data window occupancy.
         self.synthetic_mode = str(dataset_cfg.get('SYNTHETIC_MODE', 'uniform'))
+        # lidar-mode azimuthal density multiplier (bench sensitivity sweeps)
+        self.synthetic_density = float(
+            dataset_cfg.get('SYNTHETIC_DENSITY', 1.0))
         self._frame_cache = {}
         DatasetTemplate.__init__(self, dataset_cfg, class_names, training,
                                  root_path, runtime_cfg, seed)
@@ -327,7 +330,7 @@ class SyntheticONCEDataset(ONCETemporalDataset):
         pc = self.pc_range
         n_beams = 40
         elev = np.deg2rad(np.linspace(-25.0, 15.0, n_beams))
-        n_az = 2048
+        n_az = int(2048 * self.synthetic_density)
         az = np.deg2rad(
             np.arange(n_az) * (360.0 / n_az) + rng.uniform(0, 0.25)
         )

@@ -155,19 +155,50 @@ class LinearBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class _Conv3x3Params(nn.Module):
+    """Owns a 3x3 conv kernel under the same param path as ``nn.Conv``
+    ('Conv_0/kernel') so dense and occupancy-aware paths share checkpoints."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.features))
+
+
 class SubMConvBlock(nn.Module):
-    """Submanifold 3x3 conv on a voxel grid: dense conv whose outputs are masked to
-    the input active set, + masked BN + ReLU (reference ``post_act_block(...,
-    conv_type='subm', dim=2)``, spconv_utils.py:37-56)."""
+    """Submanifold 3x3 conv on a voxel grid: conv outputs masked to the input
+    active set, + masked BN + ReLU (reference ``post_act_block(...,
+    conv_type='subm', dim=2)``, spconv_utils.py:37-56).
+
+    With a compaction ``plan`` (idx [B, cap, 2] window coords + qmask
+    [B, cap, w*w]), the conv runs the occupancy-aware Pallas kernel over the
+    occupied windows only (ops/sparse_conv.py); occupied windows beyond the
+    plan cap are zeroed (flagged by the stage overflow counter)."""
 
     features: int
 
     @nn.compact
-    def __call__(self, grid, occ, train: bool):
+    def __call__(self, grid, occ, train: bool, plan=None):
         """grid [B, H, W, C] (zeros at inactive), occ [B, H, W] bool."""
-        x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
-                    dtype=CONV_DTYPE)(grid).astype(CARRIER_DTYPE)
-        x = jnp.where(occ[..., None], x, jnp.zeros((), x.dtype))
+        if plan is not None:
+            from ..ops.sparse_conv import subm_conv3x3
+
+            idx, qmask, window = plan
+            kernel = _Conv3x3Params(self.features, grid.shape[-1],
+                                    name='Conv_0')()
+            x = subm_conv3x3(
+                grid.astype(CONV_DTYPE), idx, qmask, kernel.astype(CONV_DTYPE),
+                jnp.zeros((self.features,), jnp.float32),
+                (grid.shape[1], grid.shape[2]), window,
+            ).astype(CARRIER_DTYPE)
+        else:
+            x = nn.Conv(self.features, (3, 3), padding='SAME', use_bias=False,
+                        dtype=CONV_DTYPE)(grid).astype(CARRIER_DTYPE)
+            x = jnp.where(occ[..., None], x, jnp.zeros((), x.dtype))
         x = MaskedBatchNorm()(x, occ, use_running_average=not train)
         return nn.relu(x)
 

@@ -424,12 +424,19 @@ class SSTBlock(nn.Module):
         g = DenseGrid(x=x, occ=occ)
         # one compaction plan per shift, shared by every layer of the stage
         compact_pair = None
+        conv_plan = None
         if self.occ_window_cap > 0:
             from ..ops.occ_compact import (
-                build_bucketed_compact_info, build_compact_info, round_cap,
+                build_bucketed_compact_info, build_compact_info,
+                gather_window_occ, occupied_window_indices, round_cap,
             )
 
             hw = (x.shape[1], x.shape[2])
+            # occupancy-aware conv_out (ops/sparse_conv.py) is EXPERIMENTAL:
+            # measured slower than XLA's native conv at high window counts
+            # (sublane-shifted tap slices relayout in Mosaic), so the plan
+            # stays disabled until the kernel wins
+            conv_plan = None
             if self.occ_small_cap > 0:
                 compact_pair = tuple(
                     build_bucketed_compact_info(
@@ -462,7 +469,7 @@ class SSTBlock(nn.Module):
 
         # residual add (spt_backbone.py:349-351) then SubM conv_out
         y = x + g.x
-        y = subm_remat(d_model_out, name='conv_out')(y, occ, train)
+        y = subm_remat(d_model_out, name='conv_out')(y, occ, train, conv_plan)
         return DenseGrid(x=y, occ=occ)
 
 

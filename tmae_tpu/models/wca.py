@@ -43,10 +43,14 @@ class WCABlock(nn.Module):
         # prev-frame occupancy only feeds the key mask — windows empty in prev
         # get a zero attention delta, the coupled-drop semantics (module doc)
         compact_pair = None
+        conv_plan = None
         if self.occ_window_cap > 0:
             from ..ops.occ_compact import (
-                build_bucketed_compact_info, build_compact_info, round_cap,
+                build_bucketed_compact_info, build_compact_info,
+                gather_window_occ, occupied_window_indices, round_cap,
             )
+
+            conv_plan = None  # experimental sparse conv disabled (see sst.py)
 
             if self.occ_small_cap > 0:
                 compact_pair = tuple(
@@ -78,5 +82,5 @@ class WCABlock(nn.Module):
 
         y = grid.x + g.x  # residual add (SiamWCA.py:438-444)
         y = nn.remat(SubMConvBlock, static_argnums=(3,))(
-            d_model, name='conv_out')(y, grid.occ, train)
+            d_model, name='conv_out')(y, grid.occ, train, conv_plan)
         return DenseGrid(x=y, occ=grid.occ)

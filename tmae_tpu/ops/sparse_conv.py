@@ -45,19 +45,23 @@ def _conv_kernel(wy_ref, wx_ref, x00, x01, x02, x10, x11, x12, x20, x21, x22,
     rows = [jnp.concatenate([a[0], b[0], c[0]], axis=1)
             for a, b, c in ((x00, x01, x02), (x10, x11, x12), (x20, x21, x22))]
     nb = jnp.concatenate(rows, axis=0)            # [3w, 3w, C]
-    # im2col: 9 shifted (w, w, C) views of the halo region, lane-concatenated
-    taps = []
+    # conv = sum of 9 shifted-window matmuls (lane-concat of misaligned
+    # slices is unsupported in Mosaic; per-tap full-C contractions are the
+    # same FLOPs as the im2col form)
+    out = jnp.broadcast_to(b_ref[0], (w * w, cout)).astype(jnp.float32)
     for ky in range(3):
         for kx in range(3):
-            taps.append(nb[w - 1 + ky:2 * w - 1 + ky,
-                           w - 1 + kx:2 * w - 1 + kx, :])
-    col = jnp.concatenate(taps, axis=-1).reshape(w * w, 9 * cin)
-    out = jax.lax.dot_general(
-        col, wmat_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[0]
-    out = out * qm_ref[0].reshape(w * w, 1)        # SubM: active sites only
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+            tap = nb[w - 1 + ky:2 * w - 1 + ky,
+                     w - 1 + kx:2 * w - 1 + kx, :].reshape(w * w, cin)
+            wk = wmat_ref[(3 * ky + kx) * cin:(3 * ky + kx + 1) * cin, :]
+            out = out + jax.lax.dot_general(
+                tap, wk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    # SubM: active sites only (qm ships as an f32 [w, w] tile; minor-dim
+    # insertion is 32-bit-only in Mosaic, so mask in f32 before the cast)
+    out = out.reshape(w, w, cout) * qm_ref[0, 0][..., None]
+    o_ref[0, 0] = out.reshape(w * w, cout).astype(o_ref.dtype)
 
 
 def _subm_conv_pallas(xg, idx, qmask, wmat, bias, grid_hw, window):
@@ -74,15 +78,16 @@ def _subm_conv_pallas(xg, idx, qmask, wmat, bias, grid_hw, window):
     dt = xg.dtype
 
     def nb_spec(dy, dx):
+        # dy/dx in {0,1,2} -> neighbor blocks wy-1..wy+1 (center at 1)
         return pl.BlockSpec(
             (1, w, w, C),
             lambda b, i, wy_ref, wx_ref, dy=dy, dx=dx: (
-                b, wy_ref[b, i] + dy, wx_ref[b, i] + dx, 0),
+                b, wy_ref[b, i] + dy - 1, wx_ref[b, i] + dx - 1, 0),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [nb_spec(dy, dx) for dy in range(3) for dx in range(3)]
-    in_specs.append(pl.BlockSpec((1, 1, w * w), lambda b, i, *_: (b, i, 0),
+    in_specs.append(pl.BlockSpec((1, 1, w, w), lambda b, i, *_: (b, i, 0, 0),
                                  memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((9 * C, cout), lambda *_: (0, 0),
                                  memory_space=pltpu.VMEM))
@@ -103,7 +108,7 @@ def _subm_conv_pallas(xg, idx, qmask, wmat, bias, grid_hw, window):
             out_specs=out_spec,
         ),
         interpret=_INTERPRET,
-    )(wy, wx, *([xp] * 9), qmask.astype(dt),
+    )(wy, wx, *([xp] * 9), qmask.astype(jnp.float32).reshape(B, cap, w, w),
       wmat.reshape(9 * C, cout).astype(dt),
       bias.reshape(1, cout).astype(jnp.float32))
     return out

@@ -33,6 +33,22 @@ sys.path.insert(0, str(REPO))
 WAYMO_CLASSES = ('unknown', 'Vehicle', 'Pedestrian', 'Sign', 'Cyclist')
 
 
+def nlz_from_range_images(range_images, laser_calibrations):
+    """No-label-zone flags aligned 1:1 with frame_utils'
+    ``convert_range_image_to_point_cloud`` output order: per-laser
+    (calibration-name order, first return), channel 3 of the range image at
+    cells with range > 0. ``range_images``: {laser_name: [ri, ...]} where
+    ``ri`` exposes ``.data`` (flat floats) and ``.shape.dims``;
+    ``laser_calibrations``: iterable with ``.name``. Pure function so the
+    alignment logic is testable without tensorflow/waymo_open_dataset."""
+    parts = []
+    for c in sorted(laser_calibrations, key=lambda c: c.name):
+        ri = range_images[c.name][0]
+        ri_t = np.array(ri.data, np.float32).reshape(ri.shape.dims)
+        parts.append(ri_t[ri_t[..., 0] > 0][:, 3])
+    return np.concatenate(parts).astype(np.float32)
+
+
 def decode_tfrecord_sequence(tfrecord_path):
     """TFRecord → list of decoded frame dicts. Requires tensorflow +
     waymo_open_dataset (run on a machine where they are installed)."""
@@ -63,16 +79,9 @@ def decode_tfrecord_sequence(tfrecord_path):
         feat = pts[:, 1:3]  # intensity, elongation
         # NLZ flag from range-image channel 3 (reference waymo_utils
         # convert_range_image_to_point_cloud keeps it as the 6th column; the
-        # reader drops points with NLZ >= 0). Reproduce frame_utils' per-laser
-        # masking (range > 0, calibration-name order, first return) so the
-        # flags align 1:1 with the returned points.
-        nlz_parts = []
-        for c in sorted(frame.context.laser_calibrations,
-                        key=lambda c: c.name):
-            ri = range_images[c.name][0]
-            ri_t = np.array(ri.data, np.float32).reshape(ri.shape.dims)
-            nlz_parts.append(ri_t[ri_t[..., 0] > 0][:, 3])
-        nlz = np.concatenate(nlz_parts).astype(np.float32)
+        # reader drops points with NLZ >= 0).
+        nlz = nlz_from_range_images(range_images,
+                                    frame.context.laser_calibrations)
         if len(nlz) != len(xyz):  # fail loudly, never emit wrong flags
             raise RuntimeError(
                 f'NLZ channel decode misaligned with point cloud '
