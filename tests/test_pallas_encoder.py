@@ -98,3 +98,55 @@ def test_dense_encoder_layer_module_cpu_path():
     assert np.all(np.isfinite(o))
     assert np.abs(o[0][~occ]).max() == 0.0  # inactive cells stay zero
     assert np.abs(o[0][occ]).max() > 0.0
+
+
+def test_sel_backward_matches_reference_autodiff():
+    """Fused Pallas backward of the token-bucketed (sel) layer vs jnp
+    reference autodiff, interpret mode, self + cross. tau tolerates bf16
+    accumulation noise (it is a sum over every logit)."""
+    from tmae_tpu.ops import pallas_encoder as pe
+
+    C, F, T64, S = 128, 256, 64, 16
+    N = 24
+    rng = np.random.RandomState(0)
+    xw = jnp.asarray(rng.randn(N, T64, C).astype(np.float32) * 0.3)
+    kvw = jnp.asarray(rng.randn(N, T64, C).astype(np.float32) * 0.3)
+    sel = jnp.asarray(np.stack(
+        [rng.permutation(T64)[:S] for _ in range(N)]).astype(np.int32))
+    selk = jnp.asarray(np.stack(
+        [rng.permutation(T64)[:S] for _ in range(N)]).astype(np.int32))
+    qm = jnp.asarray((rng.rand(N, S) < 0.8).astype(np.float32))
+    km = jnp.asarray((rng.rand(N, S) < 0.8).astype(np.float32))
+    pos = jnp.asarray(rng.randn(T64, C).astype(np.float32) * 0.1)
+    pr = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.05)
+    params = (pr(C, C), pr(C), pr(C, C), pr(C), pr(C, C), pr(C), pr(C, C),
+              pr(C), jnp.ones((1,)), jnp.ones((C,)), jnp.zeros((C,)),
+              pr(C, F), pr(F), pr(F, C), pr(C), jnp.ones((C,)),
+              jnp.zeros((C,)))
+    g = jnp.asarray(rng.randn(N, T64, C).astype(np.float32))
+
+    for cross in (False, True):
+        def f(x, kv, *w):
+            return pe.fused_encoder_layer_sel(
+                x, kv, sel, selk, qm, km, pos, *w, 8, 0.01, cross)
+
+        def fr(x, kv, *w):
+            return pe.reference_encoder_layer_sel(
+                x, kv, sel, selk, qm, km, pos, *w,
+                nhead=8, tau_min=0.01, cross=cross)
+
+        _, vjp_ref = jax.vjp(fr, xw, kvw, *params)
+        grads_ref = vjp_ref(g)
+        pe.set_interpret(True)
+        try:
+            _, vjp_p = jax.vjp(f, xw, kvw, *params)
+            grads_p = vjp_p(g)
+        finally:
+            pe.set_interpret(False)
+        for i, (a, b) in enumerate(zip(grads_p, grads_ref)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            tol = 0.06 if i == 10 else 0.02  # i==10: tau
+            err = np.abs(a - b).max()
+            assert err <= tol * max(np.abs(b).max(), 1e-3) + 2e-3, (
+                f'grad {i} (cross={cross}): err {err}')

@@ -948,7 +948,9 @@ def reference_encoder_layer_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos,
         kv16 = take(kvw, sel_k).astype(f32)
         posk = pos.astype(f32)[sel_k]
     else:
-        kv16, posk = x16, posq
+        # self-attention: keys ARE the selected query cells — kvw/sel_k/kmask
+        # arguments are ignored, exactly like the fused kernel
+        kv16, posk, kmask = x16, posq, qmask
     q = (x16 + posq) @ wq.astype(f32) + bq
     k = (kv16 + posk) @ wk.astype(f32) + bk
     v = kv16 @ wv.astype(f32) + bv
@@ -1082,10 +1084,30 @@ def _fwd_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, wq, bq, wk, bk, wv,
 
 
 def _bwd_sel(nhead, tau_min, cross, residuals, g):
-    """Chunked XLA-recompute backward over the jnp sel reference (the same
-    strategy as _bwd_recompute; a fused Pallas backward is the planned
-    follow-up — the sel bucket is ~1/5 of forward FLOPs so the recompute
-    backward is proportionally cheap)."""
+    """Backward dispatch: fused Pallas kernel on TPU, chunked XLA recompute
+    over the jnp sel reference elsewhere."""
+    (xw, kvw, sel_q, sel_k, qmask, kmask, pos) = residuals[:7]
+    T64, C = xw.shape[1], xw.shape[2]
+    S = sel_q.shape[-1]
+    pallas_ok = C % 128 == 0 and S % 8 == 0 and T64 % 8 == 0
+    if USE_PALLAS_BWD and pallas_ok and (
+        _INTERPRET or jax.default_backend() == 'tpu'
+    ):
+        outs = _pallas_backward_sel(
+            xw, residuals[1], sel_q, residuals[3], qmask, residuals[5], pos,
+            tuple(residuals[7:]), g, nhead=nhead, tau_min=tau_min,
+            cross=cross,
+        )
+        zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return (outs[0], outs[1], zi(sel_q), zi(residuals[3]),
+                jnp.zeros_like(qmask), jnp.zeros_like(residuals[5]),
+                jnp.zeros_like(pos)) + outs[2:]
+    return _bwd_sel_recompute(nhead, tau_min, cross, residuals, g)
+
+
+def _bwd_sel_recompute(nhead, tau_min, cross, residuals, g):
+    """Chunked XLA-recompute backward over the jnp sel reference (CPU path +
+    fallback)."""
     (xw, kvw, sel_q, sel_k, qmask, kmask, pos) = residuals[:7]
     weights = residuals[7:]
     N = xw.shape[0]
@@ -1123,6 +1145,272 @@ def _bwd_sel(nhead, tau_min, cross, residuals, g):
 
 
 fused_encoder_layer_sel.defvjp(_fwd_sel, _bwd_sel)
+
+
+def _bwd_kernel_sel(x_ref, kv_ref, selq_ref, selk_ref, qmask_ref, kmask_ref,
+                    pos_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                    wo_ref, bo_ref, tau_ref, ln1s_ref, ln1b_ref, f1w_ref,
+                    f1b_ref, f2w_ref, f2b_ref, ln2s_ref, ln2b_ref, g_ref,
+                    dx_ref, dkv_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                    dwv_ref, dbv_ref, dwo_ref, dbo_ref, dtau_ref, dln1s_ref,
+                    dln1b_ref, df1w_ref, df1b_ref, df2w_ref, df2b_ref,
+                    dln2s_ref, dln2b_ref,
+                    *, nhead, tau_min, cross, small_tokens):
+    """Fused backward of the sel (token-bucketed) layer: recomputes the
+    packed-head forward in VMEM and emits dx/dkv + weight grads."""
+    TW, T64, C = x_ref.shape
+    S = small_tokens
+    H = nhead
+    L = H * S
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+
+    def dotb(a, b, dims=None):
+        a = a.astype(bf)
+        b = b.astype(bf)
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=f32)
+        return jax.lax.dot_general(a, b, dims, preferred_element_type=f32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                  dwo_ref, dbo_ref, dtau_ref, dln1s_ref, dln1b_ref,
+                  df1w_ref, df1b_ref, df2w_ref, df2b_ref, dln2s_ref,
+                  dln2b_ref):
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    x64 = x_ref[:]
+    kv64 = kv_ref[:] if cross else x64
+    pos = pos_ref[:]
+    dtp = x64.dtype
+    sel_q = selq_ref[:]
+    sel_k = selk_ref[:] if cross else sel_q
+    qm = qmask_ref[:][..., None] > 0                     # [TW, S, 1]
+    km = kmask_ref[:] if cross else qmask_ref[:]         # [TW, S]
+    g64 = g_ref[:].astype(f32)
+    tau = tau_ref[0, 0]
+    scale = 1.0 / jnp.maximum(tau, tau_min)
+    has_key = jnp.any(km > 0, axis=-1)[:, None, None]
+
+    # ---- forward recompute ----
+    cell = jax.lax.broadcasted_iota(jnp.int32, (TW, S, T64), 2)
+    ohq = (cell == sel_q[..., None]).astype(dtp)
+    pack = lambda oh, a: jax.lax.dot_general(
+        oh, a, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+    x16 = pack(ohq, x64)
+    posq = jax.lax.dot_general(
+        ohq.reshape(TW * S, T64), pos.astype(dtp), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).reshape(TW, S, C)
+    if cross:
+        ohk = (cell == sel_k[..., None]).astype(dtp)
+        kv16 = pack(ohk, kv64)
+        posk = jax.lax.dot_general(
+            ohk.reshape(TW * S, T64), pos.astype(dtp),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ).reshape(TW, S, C)
+    else:
+        ohk, kv16, posk = ohq, x16, posq
+
+    xp = (x16 + posq).reshape(TW * S, C)
+    q = dotb(xp, wq_ref[:]) + bq_ref[0]
+    kvp = (kv16 + posk).reshape(TW * S, C)
+    k = dotb(kvp, wk_ref[:]) + bk_ref[0]
+    v = dotb(kv16.reshape(TW * S, C), wv_ref[:]) + bv_ref[0]
+    mask_mat, mask_mat_t = _head_mask_mats(H, C)
+    q3 = q.reshape(TW, S, C)
+    k3 = k.reshape(TW, S, C)
+    v3 = v.reshape(TW, S, C)
+    qn, rql = _cosine_normalize(q3, mask_mat, mask_mat_t, return_r=True)
+    kn, rkl = _cosine_normalize(k3, mask_mat, mask_mat_t, return_r=True)
+    hmask = _head_mask_rows(H, C)                        # [H, 1, C]
+    kcat = (kn[:, None] * hmask[None]).reshape(TW, L, C)
+    vcat = (v3[:, None] * hmask[None]).reshape(TW, L, C)
+    tmat, gmat = _group_matrices(H, S)
+    kmcat = jax.lax.dot_general(km, tmat, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    dots = dotb(qn, kcat, (((2,), (2,)), ((0,), (0,))))  # [TW, S, L]
+    logits = jnp.where(kmcat[:, None, :] > 0, dots * scale, -30000.0)
+    e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    sums = jax.lax.dot_general(e, gmat, (((2,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    p = jnp.where(has_key, e / (sums + 1e-30), 0.0)
+    av = dotb(p, vcat, (((2,), (1,)), ((0,), (0,))))      # [TW, S, C]
+    attn = dotb(av.reshape(TW * S, C), wo_ref[:]) + bo_ref[0]
+    z1 = x16 + jnp.where(qm, attn.reshape(TW, S, C), 0.0)
+    x1hat, inv1 = _ln_fwd_stats(z1)
+    h1 = jnp.where(qm, x1hat * ln1s_ref[0] + ln1b_ref[0], 0.0)
+    ff1 = dotb(h1.reshape(TW * S, C), f1w_ref[:]) + f1b_ref[0]
+    gg = _gelu_exact(ff1)
+    ff2 = dotb(gg, f2w_ref[:]) + f2b_ref[0]
+    z2 = h1 + ff2.reshape(TW, S, C)
+    x2hat, inv2 = _ln_fwd_stats(z2)
+
+    # ---- backward ----
+    # out64 = x64 + E(qm * (out16 - x16)); dd = per-window gathered g
+    dd = pack(ohq, g64)                                  # [TW, S, C]
+    g_out = jnp.where(qm, dd, 0.0)
+    dln2s_ref[0] += jnp.sum((g_out * x2hat).reshape(TW * S, C), axis=0)
+    dln2b_ref[0] += jnp.sum(g_out.reshape(TW * S, C), axis=0)
+    dz2 = _ln_bwd(g_out, x2hat, inv2, ln2s_ref[0])
+
+    dff2 = dz2.reshape(TW * S, C)
+    df2w_ref[:] += dotb(gg.T, dff2)
+    df2b_ref[0] += jnp.sum(dff2, axis=0)
+    dgg = dotb(dff2, f2w_ref[:].T)
+    dff1 = dgg * _gelu_grad(ff1)
+    h1f = h1.reshape(TW * S, C)
+    df1w_ref[:] += dotb(h1f.T, dff1)
+    df1b_ref[0] += jnp.sum(dff1, axis=0)
+    dh1 = dz2 + dotb(dff1, f1w_ref[:].T).reshape(TW, S, C)
+    dh1 = jnp.where(qm, dh1, 0.0)
+
+    dln1s_ref[0] += jnp.sum((dh1 * x1hat).reshape(TW * S, C), axis=0)
+    dln1b_ref[0] += jnp.sum(dh1.reshape(TW * S, C), axis=0)
+    dz1 = _ln_bwd(dh1, x1hat, inv1, ln1s_ref[0])
+
+    dx16 = dz1 - jnp.where(qm, dd, 0.0)                  # -x16 term of delta
+    dattn = jnp.where(qm, dz1, 0.0).reshape(TW * S, C)
+    dwo_ref[:] += dotb(av.reshape(TW * S, C).T, dattn)
+    dbo_ref[0] += jnp.sum(dattn, axis=0)
+    dav = dotb(dattn, wo_ref[:].T).reshape(TW, S, C)
+
+    dp = dotb(dav, vcat, (((2,), (2,)), ((0,), (0,))))   # [TW, S, L]
+    dvcat = dotb(p, dav, (((1,), (1,)), ((0,), (0,))))   # [TW, L, C]
+    dv3 = jnp.sum(dvcat.reshape(TW, H, S, C) * hmask[None], axis=1)
+    # group softmax bwd: dL = p * (dp - groupsum(dp * p))
+    t = dp * p
+    tg = jax.lax.dot_general(t, gmat, (((2,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    dlog = p * (dp - tg)
+    ddots = dlog * scale
+    dtau_acc = jnp.sum(dlog * dots)
+    dqn = dotb(ddots, kcat, (((2,), (1,)), ((0,), (0,))))   # [TW, S, C]
+    dkcat = dotb(ddots, qn, (((1,), (1,)), ((0,), (0,))))   # [TW, L, C]
+    dkn = jnp.sum(dkcat.reshape(TW, H, S, C) * hmask[None], axis=1)
+    dtau_ref[:] += jnp.where(tau > tau_min,
+                             -dtau_acc / (tau * tau), 0.0).reshape(1, 1)
+
+    # cosine-norm backward (per-head lane sums)
+    dq3 = rql * (dqn - qn * _headwise_lane_sum(dqn * qn, mask_mat,
+                                               mask_mat_t))
+    dk3 = rkl * (dkn - kn * _headwise_lane_sum(dkn * kn, mask_mat,
+                                               mask_mat_t))
+    dq = dq3.reshape(TW * S, C)
+    dk = dk3.reshape(TW * S, C)
+    dv = dv3.reshape(TW * S, C)
+
+    dwv_ref[:] += dotb(kv16.reshape(TW * S, C).T, dv)
+    dbv_ref[0] += jnp.sum(dv, axis=0)
+    dkv16 = dotb(dv, wv_ref[:].T).reshape(TW, S, C)
+
+    dwq_ref[:] += dotb(xp.T, dq)
+    dbq_ref[0] += jnp.sum(dq, axis=0)
+    dxp = dotb(dq, wq_ref[:].T).reshape(TW, S, C)
+
+    dwk_ref[:] += dotb(kvp.T, dk)
+    dbk_ref[0] += jnp.sum(dk, axis=0)
+    dkvp = dotb(dk, wk_ref[:].T).reshape(TW, S, C)
+
+    expand = lambda oh, a: jax.lax.dot_general(
+        oh, a.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32)
+    if cross:
+        dx16 = dx16 + dxp
+        dkv16 = dkv16 + dkvp
+        dx_ref[:] = (g64 + expand(ohq, dx16)).astype(dx_ref.dtype)
+        dkv_ref[:] = expand(ohk, dkv16).astype(dkv_ref.dtype)
+    else:
+        dx16 = dx16 + dxp + dkvp + dkv16
+        dx_ref[:] = (g64 + expand(ohq, dx16)).astype(dx_ref.dtype)
+        dkv_ref[:] = jnp.zeros(dkv_ref.shape, dkv_ref.dtype)
+
+
+def _pallas_backward_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, params, g,
+                         *, nhead, tau_min, cross):
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    N, T64, C = xw.shape
+    S = sel_q.shape[-1]
+    F = f1w.shape[1]
+    TW = BWD_TILE_WINDOWS
+    padded = ((N + TW - 1) // TW) * TW
+    if padded != N:
+        padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
+        xw, kvw, qmask, kmask, g = (padz(xw), padz(kvw), padz(qmask),
+                                    padz(kmask), padz(g))
+        sel_q, sel_k = padz(sel_q), padz(sel_k)
+    dt = xw.dtype
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    tile3 = pl.BlockSpec((TW, T64, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile2 = pl.BlockSpec((TW, S), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        tile3, tile3, tile2, tile2, tile2, tile2, wspec((T64, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)), wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+        tile3,  # g
+    ]
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((padded, T64, C), f32),   # dx
+        jax.ShapeDtypeStruct((padded, T64, C), f32),   # dkv
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+        jax.ShapeDtypeStruct((1, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((C, F), f32), jax.ShapeDtypeStruct((1, F), f32),
+        jax.ShapeDtypeStruct((F, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+        jax.ShapeDtypeStruct((1, C), f32), jax.ShapeDtypeStruct((1, C), f32),
+    )
+    out_specs = (
+        tile3, tile3,
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    )
+    kernel = functools.partial(_bwd_kernel_sel, nhead=nhead, tau_min=tau_min,
+                               cross=cross, small_tokens=S)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        grid_spec=pl.GridSpec(
+            grid=(padded // TW,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(xw, kvw, sel_q, sel_k, qmask.astype(jnp.float32),
+      kmask.astype(jnp.float32), pos,
+      mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo), row(bo),
+      tau.reshape(1, 1).astype(jnp.float32), row(ln1s), row(ln1b),
+      mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s), row(ln2b), g)
+    (dx, dkv, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo, dtau, dln1s, dln1b,
+     df1w, df1b, df2w, df2b, dln2s, dln2b) = outs
+    shp = lambda gr, w_: gr.reshape(w_.shape).astype(w_.dtype)
+    return (
+        dx[:N].astype(xw.dtype), dkv[:N].astype(kvw.dtype),
+        shp(dwq, wq), shp(dbq, bq), shp(dwk, wk), shp(dbk, bk),
+        shp(dwv, wv), shp(dbv, bv), shp(dwo, wo), shp(dbo, bo),
+        shp(dtau, tau), shp(dln1s, ln1s), shp(dln1b, ln1b),
+        shp(df1w, f1w), shp(df1b, f1b), shp(df2w, f2w), shp(df2b, f2b),
+        shp(dln2s, ln2s), shp(dln2b, ln2b),
+    )
 
 
 # ---------------------------------------------------------------------------
