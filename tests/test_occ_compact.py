@@ -294,3 +294,37 @@ def test_sstblock_with_cap_matches_without():
     out_c = blk_c.apply(params, grid, False)
     np.testing.assert_allclose(np.asarray(out_c.x), np.asarray(out_d.x),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_three_bucket_compact_matches_dense():
+    """small(S=16) + mid(S=48) + full buckets together == plain dense layer."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops.occ_compact import build_bucketed_compact_info
+
+    rng = np.random.RandomState(10)
+    B, H, W, C = 1, 32, 32, 128
+    occ = np.array(_occ(rng, B, H, W, 0.06))
+    occ[:, 0:8, 0:8] = True                      # a 64-cell window (full)
+    occ[:, 8:16, 8:16] = rng.rand(8, 8) < 0.55   # ~35 cells (mid)
+    occ = jnp.asarray(occ)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    layer = DenseEncoderLayer(
+        d_model=C, nhead=8, dim_feedforward=256, window=8, shift=False,
+        use_pallas=False,
+    )
+    params = layer.init(jax.random.PRNGKey(0), grid)
+    dense_out = layer.apply(params, grid)
+    bc = build_bucketed_compact_info(
+        occ, 8, False, small_cap=32, full_cap=16, grid_hw=(H, W),
+        small_tokens=16, mid_cap=16, mid_tokens=48,
+    )
+    assert int(np.asarray(bc.mid.n_windows).sum()) > 0
+    assert int(np.asarray(bc.full.n_occupied).sum()) > 0
+    assert int(np.asarray(bc.small.n_windows).sum()) > 0
+    comp_out = layer.apply(params, grid, None, bc)
+    np.testing.assert_allclose(
+        np.asarray(comp_out.x, np.float32), np.asarray(dense_out.x, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )

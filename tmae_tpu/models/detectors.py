@@ -72,6 +72,9 @@ class _DetectorBase(nn.Module):
     occ_window_caps: Sequence[int] = ()
     occ_small_caps: Sequence[int] = ()
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] = ()
+    occ_mid_tokens: int = 48
+    vfe_compute: str = 'f32'  # RUNTIME.VFE_COMPUTE: 'bf16' halves VFE traffic
 
     def _vfe(self, batch, train):
         """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras)."""
@@ -83,6 +86,7 @@ class _DetectorBase(nn.Module):
             use_absolute_xyz=vfe_cfg.get('USE_ABSLOTE_XYZ', True),
             use_cluster_xyz=vfe_cfg.get('USE_CLUSTER_XYZ', True),
             with_distance=vfe_cfg.get('WITH_DISTANCE', False),
+            compute_dtype=str(self.vfe_compute),
         )
         if name == 'TemporalDynVFE':
             cur, prv = TemporalDynVFE(self.spec, name='vfe', **kwargs)(
@@ -128,14 +132,18 @@ class CenterPoint(_DetectorBase):
                 b3d, self.max_voxels_per_level,
                 occ_window_caps=self.occ_window_caps,
                 occ_small_caps=self.occ_small_caps,
-                occ_small_tokens=self.occ_small_tokens, name='backbone_3d'
+                occ_small_tokens=self.occ_small_tokens,
+                occ_mid_caps=self.occ_mid_caps,
+                occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d'
             )(vs_cur, vs_prv, train)
         elif b3d['NAME'] == 'SPTBackbone':
             spatial, _ = SPTBackbone(
                 b3d, self.max_voxels_per_level,
                 occ_window_caps=self.occ_window_caps,
                 occ_small_caps=self.occ_small_caps,
-                occ_small_tokens=self.occ_small_tokens, name='backbone_3d'
+                occ_small_tokens=self.occ_small_tokens,
+                occ_mid_caps=self.occ_mid_caps,
+                occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d'
             )(vs_cur, train)
         else:
             raise NotImplementedError(b3d['NAME'])
@@ -161,7 +169,9 @@ class TMAE(_DetectorBase):
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
                 occ_window_caps=self.occ_window_caps,
                 occ_small_caps=self.occ_small_caps,
-                occ_small_tokens=self.occ_small_tokens, name='backbone_3d',
+                occ_small_tokens=self.occ_small_tokens,
+                occ_mid_caps=self.occ_mid_caps,
+                occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d',
             )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         elif b3d['NAME'] == 'SPTBackboneMAE':
@@ -170,7 +180,9 @@ class TMAE(_DetectorBase):
                 voxel_size=self.spec.voxel_size, pc_range=self.spec.pc_range,
                 occ_window_caps=self.occ_window_caps,
                 occ_small_caps=self.occ_small_caps,
-                occ_small_tokens=self.occ_small_tokens, name='backbone_3d',
+                occ_small_tokens=self.occ_small_tokens,
+                occ_mid_caps=self.occ_mid_caps,
+                occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d',
             )(vs_cur, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
         else:
@@ -223,6 +235,10 @@ def build_detector(cfg):
         occ_small_caps=tuple(
             int(v) for v in runtime.get('OCC_SMALL_CAPS', ())),
         occ_small_tokens=int(runtime.get('OCC_SMALL_TOKENS', 16)),
+        occ_mid_caps=tuple(
+            int(v) for v in runtime.get('OCC_MID_CAPS', ())),
+        occ_mid_tokens=int(runtime.get('OCC_MID_TOKENS', 48)),
+        vfe_compute=str(runtime.get('VFE_COMPUTE', 'f32')),
     )
 
 

@@ -60,6 +60,8 @@ class SiamWCAEncoder(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
@@ -74,6 +76,11 @@ class SiamWCAEncoder(nn.Module):
         if not self.occ_small_caps:
             return 0
         return int(self.occ_small_caps[i])
+
+    def _mid_cap(self, i) -> int:
+        if not self.occ_mid_caps:
+            return 0
+        return int(self.occ_mid_caps[i])
 
     def setup(self):
         blocks = self.model_cfg['SST_BLOCK_LIST']
@@ -93,6 +100,8 @@ class SiamWCAEncoder(nn.Module):
                 occ_window_cap=self._cap(i),
                 occ_small_cap=self._small_cap(i),
                 occ_small_tokens=self.occ_small_tokens,
+                occ_mid_cap=self._mid_cap(i),
+                occ_mid_tokens=self.occ_mid_tokens,
                 name=f'sst_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -107,6 +116,8 @@ class SiamWCAEncoder(nn.Module):
                     occ_window_cap=self._cap(i),
                     occ_small_cap=self._small_cap(i),
                     occ_small_tokens=self.occ_small_tokens,
+                    occ_mid_cap=self._mid_cap(i),
+                    occ_mid_tokens=self.occ_mid_tokens,
                     name=f'sst_block_prev_{i}',
                 )
                 for i, b in enumerate(blocks)
@@ -118,6 +129,8 @@ class SiamWCAEncoder(nn.Module):
                 occ_window_cap=self._cap(i),
                 occ_small_cap=self._small_cap(i),
                 occ_small_tokens=self.occ_small_tokens,
+                occ_mid_cap=self._mid_cap(i),
+                occ_mid_tokens=self.occ_mid_tokens,
                 name=f'wca_block_{i}',
             )
             for i, b in enumerate(blocks)
@@ -172,6 +185,8 @@ class SiamWCA(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
@@ -185,7 +200,9 @@ class SiamWCA(nn.Module):
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps,
             occ_small_caps=self.occ_small_caps,
-            occ_small_tokens=self.occ_small_tokens, name='encoder'
+            occ_small_tokens=self.occ_small_tokens,
+            occ_mid_caps=self.occ_mid_caps,
+            occ_mid_tokens=self.occ_mid_tokens, name='encoder'
         )(g_cur, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -260,6 +277,8 @@ class SiamWCA_MAE(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet,
@@ -290,7 +309,9 @@ class SiamWCA_MAE(nn.Module):
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps,
             occ_small_caps=self.occ_small_caps,
-            occ_small_tokens=self.occ_small_tokens, name='encoder'
+            occ_small_tokens=self.occ_small_tokens,
+            occ_mid_caps=self.occ_mid_caps,
+            occ_mid_tokens=self.occ_mid_tokens, name='encoder'
         )(g_vis, g_prv, train)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

@@ -27,6 +27,8 @@ class SPTEncoder(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     def _max_tokens(self, blk) -> int:
         drop = blk['PREPROCESS']['DROP_INFO']['train']
@@ -46,6 +48,9 @@ class SPTEncoder(nn.Module):
                 occ_small_cap=(int(self.occ_small_caps[i])
                                if self.occ_small_caps else 0),
                 occ_small_tokens=self.occ_small_tokens,
+                occ_mid_cap=(int(self.occ_mid_caps[i])
+                             if self.occ_mid_caps else 0),
+                occ_mid_tokens=self.occ_mid_tokens,
                 name=f'sst_block_{i}',
             )(x, train)
             hidden.append(x)
@@ -60,6 +65,8 @@ class SPTBackbone(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, vs: VoxelSet, train: bool):
@@ -94,6 +101,8 @@ class SPTBackboneMAE(nn.Module):
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] | None = None
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, vs: VoxelSet, points_xyz, point_voxel, point_valid,

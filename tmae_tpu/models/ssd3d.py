@@ -28,6 +28,11 @@ class SSD3D(nn.Module):
     spec: Any = None                       # unused: point-based, no voxel grid
     max_voxels_per_level: Sequence[int] = ()
     occ_window_caps: Sequence[int] = ()    # unused (no SST windows)
+    occ_small_caps: Sequence[int] = ()  # unused; build parity
+    occ_small_tokens: int = 16
+    occ_mid_caps: Sequence[int] = ()
+    occ_mid_tokens: int = 48
+    vfe_compute: str = 'f32'
 
     @nn.compact
     def __call__(self, batch, train: bool):

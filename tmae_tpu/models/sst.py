@@ -194,7 +194,11 @@ class DenseEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
-                 compact=None):
+                 compact=None, carriers=None):
+        """``carriers``: optional (xp, kvp) grids ALREADY padded for this
+        layer's shift (DenseShiftBlock keeps the carrier padded across its
+        two layers, converting geometry with one lax.pad). When given, the
+        return value is the updated padded xp instead of a DenseGrid."""
         from ..ops import pallas_encoder
 
         assert self.cosine and self.activation == 'gelu', (
@@ -260,10 +264,15 @@ class DenseEncoderLayer(nn.Module):
             kvg = kv_grid if cross else grid
             B = grid.x.shape[0]
             flatn = lambda a: a.reshape(-1, *a.shape[2:])
-            # pad ONCE per (layer, shift); gather/scatter run against the
-            # padded carrier and the scatter aliases it in place
-            xp = pad_grid(grid.x.astype(dt), w, self.shift)
-            kvp = pad_grid(kvg.x.astype(dt), w, self.shift) if cross else None
+            # pad ONCE per (layer, shift) — or reuse the caller's padded
+            # carriers; gather/scatter run against the padded array and the
+            # scatter aliases it in place
+            if carriers is not None:
+                xp, kvp = carriers
+            else:
+                xp = pad_grid(grid.x.astype(dt), w, self.shift)
+                kvp = (pad_grid(kvg.x.astype(dt), w, self.shift)
+                       if cross else None)
 
             def run_full(ci, xp):
                 cap = ci.idx.shape[1]
@@ -303,10 +312,14 @@ class DenseEncoderLayer(nn.Module):
             if isinstance(compact, BucketedCompact):
                 if compact.full is not None and compact.full.idx.shape[1]:
                     xp = run_full(compact.full, xp)
+                if compact.mid is not None and compact.mid.idx.shape[1]:
+                    xp = run_small(compact.mid, xp)
                 if compact.small is not None and compact.small.idx.shape[1]:
                     xp = run_small(compact.small, xp)
             else:
                 xp = run_full(compact, xp)
+            if carriers is not None:
+                return xp
             x = unpad_grid(xp, hw, w, self.shift)
             return DenseGrid(x=x, occ=grid.occ)
         if use_pallas:
@@ -361,14 +374,39 @@ class DenseShiftBlock(nn.Module):
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
                  compact_pair=None):
-        for i in range(2):
-            grid = DenseEncoderLayer(
+        layers = [
+            DenseEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.window,
                 shift=(i % 2 == 1), activation=self.activation,
                 cosine=self.cosine, tau_min=self.tau_min, cross=self.cross,
                 name=f'EncoderLayer_{i}',
-            )(grid, kv_grid,
-              compact_pair[i % 2] if compact_pair is not None else None)
+            )
+            for i in range(2)
+        ]
+        if compact_pair is not None:
+            # keep the carrier PADDED across both layers; the shift-geometry
+            # conversion between them is one fused crop+pad (repad_grid)
+            from ..ops.occ_compact import pad_grid, repad_grid, unpad_grid
+
+            w = self.window
+            dt = COMPUTE_DTYPE
+            cross = self.cross and kv_grid is not None
+            xp = pad_grid(grid.x.astype(dt), w, False)
+            kvp0 = (pad_grid(kv_grid.x.astype(dt), w, False)
+                    if cross else None)
+            kvp = kvp0
+            for i in range(2):
+                shift = i % 2 == 1
+                if i:
+                    xp = repad_grid(xp, w, False, True)
+                    kvp = (repad_grid(kvp0, w, False, True)
+                           if cross else None)
+                xp = layers[i](grid, kv_grid, compact_pair[i % 2],
+                               carriers=(xp, kvp))
+            x = unpad_grid(xp, grid.grid_hw, w, True)
+            return DenseGrid(x=x, occ=grid.occ)
+        for i in range(2):
+            grid = layers[i](grid, kv_grid)
         return grid
 
 
@@ -386,6 +424,8 @@ class SSTBlock(nn.Module):
     occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
     occ_small_cap: int = 0   # >0: token-bucketed small-window plan (cap)
     occ_small_tokens: int = 16  # small-bucket token count S
+    occ_mid_cap: int = 0     # >0: second packed bucket (cap)
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, grid: DenseGrid, train: bool) -> DenseGrid:
@@ -442,7 +482,9 @@ class SSTBlock(nn.Module):
                     build_bucketed_compact_info(
                         occ, self.window, s, self.occ_small_cap,
                         self.occ_window_cap, hw,
-                        small_tokens=self.occ_small_tokens)
+                        small_tokens=self.occ_small_tokens,
+                        mid_cap=self.occ_mid_cap,
+                        mid_tokens=self.occ_mid_tokens)
                     for s in (False, True)
                 )
             else:

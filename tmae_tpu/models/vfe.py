@@ -31,6 +31,10 @@ class DynPillarEncoder(nn.Module):
     use_absolute_xyz: bool = True
     use_cluster_xyz: bool = True
     with_distance: bool = False
+    # 'bf16' halves the bytes of the per-point MLP + the segment-max /
+    # gather-back traffic (the VFE is bandwidth-bound at 131k points); f32
+    # default keeps torch-parity exact
+    compute_dtype: str = 'f32'
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool):
@@ -77,6 +81,8 @@ class DynPillarEncoder(nn.Module):
             )
         x = jnp.concatenate(feats, axis=-1)
         x = jnp.where(pvalid[..., None], x, 0.0)
+        if self.compute_dtype == 'bf16':
+            x = x.astype(jnp.bfloat16)
 
         n_stacks = len(self.mlps)
         for k, widths in enumerate(self.mlps):
@@ -112,6 +118,7 @@ class TemporalDynVFE(nn.Module):
     use_absolute_xyz: bool = True
     use_cluster_xyz: bool = True
     with_distance: bool = False
+    compute_dtype: str = 'f32'
 
     def setup(self):
         self.encoder = DynPillarEncoder(
@@ -119,6 +126,7 @@ class TemporalDynVFE(nn.Module):
             use_absolute_xyz=self.use_absolute_xyz,
             use_cluster_xyz=self.use_cluster_xyz,
             with_distance=self.with_distance,
+            compute_dtype=self.compute_dtype,
         )
 
     def __call__(self, points, point_mask, points_prev, point_mask_prev,
@@ -140,6 +148,7 @@ class DynVFE(nn.Module):
     use_absolute_xyz: bool = True
     use_cluster_xyz: bool = True
     with_distance: bool = False
+    compute_dtype: str = 'f32'
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool):
@@ -148,6 +157,7 @@ class DynVFE(nn.Module):
             use_absolute_xyz=self.use_absolute_xyz,
             use_cluster_xyz=self.use_cluster_xyz,
             with_distance=self.with_distance,
+            compute_dtype=self.compute_dtype,
         )(points, point_mask, train)
 
 

@@ -30,6 +30,8 @@ class WCABlock(nn.Module):
     occ_window_cap: int = 0  # >0: occupied-window compaction with this cap
     occ_small_cap: int = 0   # >0: token-bucketed small-window plan (cap)
     occ_small_tokens: int = 16  # small-bucket token count S
+    occ_mid_cap: int = 0     # >0: second packed bucket (cap)
+    occ_mid_tokens: int = 48
 
     @nn.compact
     def __call__(self, grid: DenseGrid, grid_prv: DenseGrid,
@@ -58,7 +60,9 @@ class WCABlock(nn.Module):
                         grid.occ, self.window, s, self.occ_small_cap,
                         self.occ_window_cap, grid.grid_hw,
                         kv_occ=grid_prv.occ,
-                        small_tokens=self.occ_small_tokens)
+                        small_tokens=self.occ_small_tokens,
+                        mid_cap=self.occ_mid_cap,
+                        mid_tokens=self.occ_mid_tokens)
                     for s in (False, True)
                 )
             else:

@@ -199,7 +199,10 @@ def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         return alive, kept
 
     alive0 = jnp.ones((K,), bool)
-    _, kept = jax.lax.fori_loop(0, K, body, (alive0, jnp.zeros((K,), bool)))
+    # unroll: the body is a handful of vector ops on [K] lanes, so per-step
+    # loop overhead dominates; unrolling amortizes it ~8x
+    _, kept = jax.lax.fori_loop(0, K, body, (alive0, jnp.zeros((K,), bool)),
+                                unroll=8)
     # cap to post_maxsize highest-score survivors
     rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
     return kept & (rank < post_maxsize)

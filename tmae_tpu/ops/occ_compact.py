@@ -432,6 +432,20 @@ def unpad_grid(xp, grid_hw, window: int, shift: bool):
     return xp[:, off:off + H, off:off + W, :]
 
 
+def repad_grid(xp, window: int, from_shift: bool, to_shift: bool):
+    """Convert a padded carrier between shift geometries in ONE copy
+    (lax.pad with negative low padding = fused crop+pad). Both geometries
+    share the same padded shape; only the content offset moves by ±w/2."""
+    if from_shift == to_shift:
+        return xp
+    off_f = window // 2 if from_shift else window
+    off_t = window // 2 if to_shift else window
+    d = off_t - off_f
+    zero = jnp.zeros((), xp.dtype)
+    return jax.lax.pad(
+        xp, zero, ((0, 0, 0), (d, -d, 0), (d, -d, 0), (0, 0, 0)))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_windows_padded(xp, idx, window: int):
     """gather_windows against an already-padded grid [B, Hp + w, Wp, C]."""
@@ -571,13 +585,15 @@ class SmallCompactInfo:
 
 @flax.struct.dataclass
 class BucketedCompact:
-    """Per-(stage, shift) two-bucket plan; either bucket may be None."""
+    """Per-(stage, shift) bucket plan; any bucket may be None. ``mid`` is a
+    second packed bucket (same kernel as ``small``, more tokens)."""
 
     small: SmallCompactInfo | None
     full: CompactInfo | None
+    mid: SmallCompactInfo | None = None
 
     def overflow(self) -> jnp.ndarray:
-        parts = [b.overflow() for b in (self.small, self.full)
+        parts = [b.overflow() for b in (self.small, self.mid, self.full)
                  if b is not None]
         out = parts[0]
         for p in parts[1:]:
@@ -594,31 +610,44 @@ def _cell_selection(occ, idx, grid_hw, window, shift, small_tokens):
     return sel.astype(jnp.int32), mask
 
 
+def _packed_bucket(mask, occ, kv_occ, cap, tokens, grid_hw, window, shift):
+    idx, valid, n = _indices_from_mask(mask, round_cap(cap))
+    sel, qm = _cell_selection(occ, idx, grid_hw, window, shift, tokens)
+    ksel = kmask = None
+    if kv_occ is not None:
+        ksel, kmask = _cell_selection(kv_occ, idx, grid_hw, window, shift,
+                                      tokens)
+    return SmallCompactInfo(idx, valid, sel, qm, ksel, kmask, n)
+
+
 def build_bucketed_compact_info(occ, window, shift, small_cap, full_cap,
                                 grid_hw, kv_occ=None,
-                                small_tokens: int = 16) -> BucketedCompact:
-    """Classify occupied windows by cell count into the small
-    (<= small_tokens on BOTH frames, so no cell is ever dropped) and full
-    buckets, and build each bucket's plan."""
+                                small_tokens: int = 16,
+                                mid_cap: int = 0,
+                                mid_tokens: int = 48) -> BucketedCompact:
+    """Classify occupied windows by cell count (on BOTH frames when cross, so
+    no cell is ever dropped): <= small_tokens → packed S=small_tokens kernel;
+    <= mid_tokens (when mid_cap > 0) → packed S=mid_tokens kernel; else the
+    full T=window² kernel."""
     cnt_q = window_cell_counts(occ, window, shift)
     occupied = cnt_q > 0
     n_eff = cnt_q
     if kv_occ is not None:
         n_eff = jnp.maximum(cnt_q, window_cell_counts(kv_occ, window, shift))
     small_m = occupied & (n_eff <= small_tokens)
-    full_m = occupied & ~small_m
+    small = _packed_bucket(small_m, occ, kv_occ, small_cap, small_tokens,
+                           grid_hw, window, shift)
+    mid = None
+    rest = occupied & ~small_m
+    if mid_cap > 0:
+        mid_m = rest & (n_eff <= mid_tokens)
+        mid = _packed_bucket(mid_m, occ, kv_occ, mid_cap, mid_tokens,
+                             grid_hw, window, shift)
+        rest = rest & ~mid_m
 
-    idx_s, valid_s, n_s = _indices_from_mask(small_m, round_cap(small_cap))
-    sel, qm = _cell_selection(occ, idx_s, grid_hw, window, shift, small_tokens)
-    ksel = kmask_s = None
-    if kv_occ is not None:
-        ksel, kmask_s = _cell_selection(kv_occ, idx_s, grid_hw, window, shift,
-                                        small_tokens)
-    small = SmallCompactInfo(idx_s, valid_s, sel, qm, ksel, kmask_s, n_s)
-
-    idx_f, valid_f, n_f = _indices_from_mask(full_m, round_cap(full_cap))
+    idx_f, valid_f, n_f = _indices_from_mask(rest, round_cap(full_cap))
     qmask_f = gather_window_occ(occ, idx_f, grid_hw, window, shift)
     kmask_f = (gather_window_occ(kv_occ, idx_f, grid_hw, window, shift)
                if kv_occ is not None else None)
     full = CompactInfo(idx_f, valid_f, qmask_f, kmask_f, n_f)
-    return BucketedCompact(small=small, full=full)
+    return BucketedCompact(small=small, full=full, mid=mid)

@@ -41,6 +41,14 @@ def parse_config():
                         help='fold BN into convs before eval (API parity with '
                              'the reference; XLA already fuses the affine at '
                              'compile time)')
+    parser.add_argument('--launcher', choices=['none', 'jax', 'pytorch',
+                                               'slurm'], default='none',
+                        help='any non-none value initializes jax.distributed '
+                             'for multi-host eval (same resolution as '
+                             'train.py)')
+    parser.add_argument('--tcp_port', type=int, default=18888)
+    parser.add_argument('--local_rank', type=int, default=None,
+                        help='ignored (torch-DDP artifact)')
     args = parser.parse_args()
     cfg = cfg_from_yaml_file(args.cfg_file)
     if args.set_cfgs is not None:
@@ -66,11 +74,14 @@ def load_variables(cfg, model, loader, ckpt_path, fuse=False):
 
 def main():
     args, cfg = parse_config()
+    from train import init_distributed
+    init_distributed(args)  # before ANY backend-touching jax call
     out_dir = REPO / 'output' / cfg.EXP_GROUP_PATH / cfg.TAG / args.extra_tag
     eval_dir = out_dir / 'eval'
     eval_dir.mkdir(parents=True, exist_ok=True)
-    logging.basicConfig(level=logging.INFO,
-                        format='%(asctime)s %(levelname)s %(message)s')
+    logging.basicConfig(
+        level=logging.INFO if jax.process_index() == 0 else logging.WARNING,
+        format='%(asctime)s %(levelname)s %(message)s')
     logger = logging.getLogger('test')
 
     if args.fixed_gap_eval >= 0:
