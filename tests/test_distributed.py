@@ -39,6 +39,9 @@ def test_two_process_train_eval():
     for rank in range(2):
         env = dict(os.environ)
         env.pop('PALLAS_AXON_POOL_IPS', None)
+        # conftest exports --xla_force_host_platform_device_count=8 for the
+        # virtual-mesh tests; each child here must be a 1-device process
+        env.pop('XLA_FLAGS', None)
         env.update(
             JAX_PLATFORMS='cpu', MASTER_ADDR='127.0.0.1',
             MASTER_PORT=str(port), WORLD_SIZE='2', RANK=str(rank),

@@ -147,23 +147,45 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
     """
     nms_cfg = post_cfg['NMS_CONFIG']
     K = int(post_cfg['MAX_OBJ_PER_SAMPLE'])
+    pc = jnp.asarray(pc_range, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    lim = jnp.asarray(post_cfg['POST_CENTER_LIMIT_RANGE'], jnp.float32)
+    score_thresh = float(post_cfg['SCORE_THRESH'])
+
+    # one per-class top-K pass over ALL head groups' heatmaps (the expensive
+    # stage: a sort/approx_max_k over H*W per class), then the cheap
+    # per-group top-K on slices — exact reference _topk semantics per group
+    # (centernet_utils.py:136-151) with one fused sigmoid+sort chain
+    B, H, W, _ = pred_dicts[0]['hm'].shape
+    hm_all = jnp.concatenate([pd['hm'] for pd in pred_dicts], axis=-1)
+    hm_all = jax.nn.sigmoid(hm_all.reshape(B, H * W, -1).transpose(0, 2, 1))
+    s_cls, i_cls = C.topk_heatmap_classwise(hm_all, K, exact=exact_topk)
+
     all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    c0 = 0
     for gi, pd in enumerate(pred_dicts):
-        to_nchw = lambda t: t.transpose(0, 3, 1, 2)
-        hm = jax.nn.sigmoid(to_nchw(pd['hm']))
-        boxes, scores, cls, ok = C.decode_bbox_from_heatmap(
-            heatmap=hm,
-            rot_cos=to_nchw(pd['rot'][..., 0:1]),
-            rot_sin=to_nchw(pd['rot'][..., 1:2]),
-            center=to_nchw(pd['center']),
-            center_z=to_nchw(pd['center_z']),
-            dim=jnp.exp(to_nchw(pd['dim'])),
-            point_cloud_range=tuple(pc_range), voxel_size=tuple(voxel_size),
-            feature_map_stride=feature_map_stride, K=K,
-            score_thresh=float(post_cfg['SCORE_THRESH']),
-            post_center_limit_range=tuple(post_cfg['POST_CENTER_LIMIT_RANGE']),
-            exact_topk=exact_topk,
-        )
+        Cg = pd['hm'].shape[-1]
+        s_g = s_cls[:, c0:c0 + Cg].reshape(B, Cg * K)
+        i_g = i_cls[:, c0:c0 + Cg].reshape(B, Cg * K)
+        c0 += Cg
+        scores, i_all = jax.lax.top_k(s_g, K)            # [B, K]
+        cls = (i_all // K).astype(jnp.int32)
+        inds = jnp.take_along_axis(i_g, i_all, axis=1)
+        ys = (inds // W).astype(jnp.float32)
+        xs = (inds % W).astype(jnp.float32)
+        ctr = C.gather_feat_nhwc(pd['center'], inds)     # [B, K, 2]
+        rot = C.gather_feat_nhwc(pd['rot'], inds)
+        cz = C.gather_feat_nhwc(pd['center_z'], inds)[..., 0]
+        dims = jnp.exp(C.gather_feat_nhwc(pd['dim'], inds))
+        angle = jnp.arctan2(rot[..., 1], rot[..., 0])
+        xs = (xs + ctr[..., 0]) * feature_map_stride * vs[0] + pc[0]
+        ys = (ys + ctr[..., 1]) * feature_map_stride * vs[1] + pc[1]
+        boxes = jnp.concatenate(
+            [xs[..., None], ys[..., None], cz[..., None], dims,
+             angle[..., None]], axis=-1)
+        ok = jnp.all(boxes[..., :3] >= lim[:3], axis=-1)
+        ok &= jnp.all(boxes[..., :3] <= lim[3:6], axis=-1)
+        ok &= scores > score_thresh
         # local head class → global class id, 1-indexed (center_head.py:316)
         gmap = jnp.asarray(class_id_maps[gi], jnp.int32)
         labels = gmap[jnp.clip(cls, 0, gmap.shape[0] - 1)] + 1

@@ -158,6 +158,25 @@ def gather_feat(feat: jnp.ndarray, inds: jnp.ndarray):
     ).transpose(0, 2, 1)
 
 
+def gather_feat_nhwc(feat: jnp.ndarray, inds: jnp.ndarray):
+    """feat [B, H, W, C], inds [B, K] flat spatial → [B, K, C] — transpose-free
+    row gather (C is contiguous per cell in NHWC)."""
+    B, H, W, C = feat.shape
+    flat = feat.reshape(B, H * W, C)
+    return jnp.take_along_axis(
+        flat, inds[..., None].astype(jnp.int32), axis=1)
+
+
+def topk_heatmap_classwise(scores: jnp.ndarray, K: int, exact: bool = True):
+    """The expensive per-class stage of ``topk_heatmap`` alone:
+    [B, C, H*W] → (s_cls, i_cls) each [B, C, K]. Lets callers run ONE pass
+    over the concatenated class maps of every head group and finish the cheap
+    per-group top-K on slices (exact _topk semantics per group preserved)."""
+    if exact:
+        return jax.lax.top_k(scores, K)
+    return jax.lax.approx_max_k(scores, K, recall_target=0.99)
+
+
 @partial(jax.jit, static_argnames=('K', 'feature_map_stride', 'exact_topk'))
 def decode_bbox_from_heatmap(heatmap, rot_cos, rot_sin, center, center_z, dim,
                              point_cloud_range, voxel_size, feature_map_stride: int,
