@@ -152,6 +152,46 @@ def child():
     fps = done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
     emit('final', fps)
 
+    # optional STREAMING serving measurement (stderr note only): on
+    # consecutive frames the prev-frame pyramid equals the previous step's
+    # cur pyramid, so the serving path carries it forward (cached_prev /
+    # return_hidden on CenterPoint) and skips half the SST encoder. The
+    # driver metric above stays the stateless two-frame forward (the
+    # reference harness's semantics, eval_utils.py:57-77).
+    if os.environ.get('BENCH_STREAMING'):
+        @jax.jit
+        def infer_stream(variables, b, cached):
+            out = model.apply(variables, b, train=False,
+                              cached_prev=cached, return_hidden=True)
+            preds = centerpoint_predict(cfg, out, nms_on_device=nms_device,
+                                        exact_topk=False)
+            return preds, out['hidden_cur']
+
+        preds, hidden = infer_stream(variables, dev_batch, None)
+        jax.block_until_ready(hidden)
+        # warm the steady-state graph (cached != None) before timing
+        preds, hidden = infer_stream(variables, dev_batch, hidden)
+        jax.block_until_ready(hidden)
+        t0 = time.perf_counter()
+        n = 0
+        inflight = collections.deque()
+        for _ in range(reps):
+            preds, hidden = infer_stream(variables, dev_batch, hidden)
+            inflight.append(preds)
+            if len(inflight) >= depth:
+                boxes, scores, labels, valid = jax.device_get(
+                    inflight.popleft())
+                if not nms_device:
+                    host_nms(cfg, boxes, scores, labels, valid)
+                n += 1
+        while inflight:
+            boxes, scores, labels, valid = jax.device_get(inflight.popleft())
+            if not nms_device:
+                host_nms(cfg, boxes, scores, labels, valid)
+            n += 1
+        sfps = n * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
+        note(f'streaming serving (cached prev pyramid): {sfps:.2f} fps')
+
     # optional occupancy-sensitivity sweep (stderr notes only; the driver
     # JSON above is unchanged): re-render the lidar scene at 0.5x/2x
     # azimuthal density — same static shapes, so no recompile — and report

@@ -124,18 +124,29 @@ class CenterPoint(_DetectorBase):
     CenterHead."""
 
     @nn.compact
-    def __call__(self, batch, train: bool):
+    def __call__(self, batch, train: bool, cached_prev=None,
+                 return_hidden: bool = False):
+        """Streaming serving (SiamWCA only): thread the previous step's
+        ``hidden_cur`` back in as ``cached_prev`` to skip the prev-frame
+        pyramid (it equals the previous step's cur pyramid on consecutive
+        frames)."""
         vs_cur, vs_prv, _ = self._vfe(batch, train)
         b3d = self.model_cfg['BACKBONE_3D']
+        hidden_cur = None
         if b3d['NAME'] == 'SiamWCA':
-            spatial, _ = SiamWCA(
+            out3d = SiamWCA(
                 b3d, self.max_voxels_per_level,
                 occ_window_caps=self.occ_window_caps,
                 occ_small_caps=self.occ_small_caps,
                 occ_small_tokens=self.occ_small_tokens,
                 occ_mid_caps=self.occ_mid_caps,
                 occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d'
-            )(vs_cur, vs_prv, train)
+            )(vs_cur, vs_prv, train, cached_prev=cached_prev,
+              return_hidden=return_hidden)
+            if return_hidden:
+                spatial, _, hidden_cur = out3d
+            else:
+                spatial, _ = out3d
         elif b3d['NAME'] == 'SPTBackbone':
             spatial, _ = SPTBackbone(
                 b3d, self.max_voxels_per_level,
@@ -153,7 +164,10 @@ class CenterPoint(_DetectorBase):
             self.class_names, self.spec.voxel_size, self.spec.pc_range,
             name='dense_head',
         )(spatial2d, train)
-        return {'pred_dicts': pred_dicts, 'spatial_features_2d': spatial2d}
+        out = {'pred_dicts': pred_dicts, 'spatial_features_2d': spatial2d}
+        if return_hidden:
+            out['hidden_cur'] = hidden_cur
+        return out
 
 
 class TMAE(_DetectorBase):

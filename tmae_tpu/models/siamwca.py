@@ -148,8 +148,17 @@ class SiamWCAEncoder(nn.Module):
             hidden.append(x)
         return hidden
 
-    def __call__(self, grid_cur: DenseGrid, grid_prv: DenseGrid, train: bool):
-        if self.asymmetric:
+    def __call__(self, grid_cur: DenseGrid, grid_prv: DenseGrid, train: bool,
+                 hid_prv=None):
+        """``hid_prv``: optional cached prev-frame pyramid (the previous
+        streaming step's ``hid_cur``) — skips the prev encode entirely. Only
+        valid with shared (non-asymmetric) weights, where the prev encoding
+        IS the cur encoding of the previous step."""
+        if hid_prv is not None:
+            assert not self.asymmetric, (
+                'streaming prev-cache requires shared-weight branches')
+            hid_cur = self.encode_pyramid(grid_cur, train, prev_branch=False)
+        elif self.asymmetric:
             if self.asym_simsiam:
                 hid_prv = jax.tree.map(
                     jax.lax.stop_gradient,
@@ -173,7 +182,7 @@ class SiamWCAEncoder(nn.Module):
             self.wca_blocks[i](hid_cur[i], hid_prv[i], train)
             for i in range(len(hid_cur))
         ]
-        return fused
+        return fused, hid_cur
 
 
 class SiamWCA(nn.Module):
@@ -189,21 +198,27 @@ class SiamWCA(nn.Module):
     occ_mid_tokens: int = 48
 
     @nn.compact
-    def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool):
+    def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool,
+                 cached_prev=None, return_hidden: bool = False):
+        """Streaming serving: pass the previous step's ``hidden_cur`` (from
+        ``return_hidden=True``) as ``cached_prev`` to skip the prev-frame
+        pyramid entirely — on consecutive frames it IS the previous step's
+        cur pyramid (shared-weight branches only)."""
         from .layers import CARRIER_DTYPE
 
         g_cur = DenseGrid(x=vs_cur.to_dense().astype(CARRIER_DTYPE),
                           occ=vs_cur.occupancy())
-        g_prv = DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
-                          occ=vs_prv.occupancy())
-        fused = SiamWCAEncoder(
+        g_prv = (DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
+                           occ=vs_prv.occupancy())
+                 if cached_prev is None else g_cur)
+        fused, hid_cur = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps,
             occ_small_caps=self.occ_small_caps,
             occ_small_tokens=self.occ_small_tokens,
             occ_mid_caps=self.occ_mid_caps,
             occ_mid_tokens=self.occ_mid_tokens, name='encoder'
-        )(g_cur, g_prv, train)
+        )(g_cur, g_prv, train, hid_prv=cached_prev)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']
@@ -211,6 +226,8 @@ class SiamWCA(nn.Module):
         spatial = PyramidFuse(fuse_layers, name='fuse')(
             [f.x for f in fused], train
         )
+        if return_hidden:
+            return spatial, fused, hid_cur
         return spatial, fused
 
 
@@ -312,7 +329,7 @@ class SiamWCA_MAE(nn.Module):
             occ_small_tokens=self.occ_small_tokens,
             occ_mid_caps=self.occ_mid_caps,
             occ_mid_tokens=self.occ_mid_tokens, name='encoder'
-        )(g_vis, g_prv, train)
+        )(g_vis, g_prv, train)[0]
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
             for src in self.model_cfg['FEATURES_SOURCE']

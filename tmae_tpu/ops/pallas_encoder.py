@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_WINDOWS = 32  # 16 measured ~7% slower on the full kernel; 64 OOMs VMEM
+TILE_WINDOWS = 16  # 32 wins ~7% standalone but loses ~5% in-model (and compiles 2x slower)
 
 _INTERPRET = False
 
@@ -344,6 +344,9 @@ def _pallas_forward(xw, kvw, qmask, kmask, pos, *params, nhead, tau_min, cross):
             in_specs=vec_specs + param_specs,
             out_specs=pl.BlockSpec((TW, T, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xw, kvw, qmask.astype(jnp.float32), kmask.astype(jnp.float32), pos,
@@ -989,7 +992,8 @@ def _pallas_forward_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
     N, T64, C = xw.shape
     S = sel_q.shape[-1]
     F = f1w.shape[1]
-    TW = TILE_WINDOWS
+    # S=48 at 32 windows exceeds the 16M scoped-VMEM budget
+    TW = TILE_WINDOWS if S <= 16 else min(TILE_WINDOWS, 16)
     padded = ((N + TW - 1) // TW) * TW
     if padded != N:
         padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
@@ -1029,6 +1033,9 @@ def _pallas_forward_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
             in_specs=vec_specs + param_specs,
             out_specs=pl.BlockSpec((TW, T64, C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xw, kvw, sel_q, sel_k, qmask.astype(jnp.float32),
