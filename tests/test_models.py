@@ -114,3 +114,40 @@ def test_gather_gt_points_wraps():
     assert np.allclose(out[0, 0, :, 0], [0, 1, 0, 1])
     # voxel 1 repeats p2
     assert np.allclose(out[0, 1, :, 0], [2, 2, 2, 2])
+
+
+def test_temporal_vfe_batched_eval_matches_sequential():
+    """At eval TemporalDynVFE fuses both frames into ONE encoder pass
+    (models/vfe.py); it must equal the per-frame calls exactly (BN runs on
+    running averages), and prev_needed=False must reproduce the cur frame."""
+    from tmae_tpu.models.detectors import make_voxel_spec
+    from tmae_tpu.models.vfe import TemporalDynVFE
+
+    cfg = tiny_cfg(mae=False)
+    spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
+    batch = synth_batch(np.random.RandomState(3))
+    vfe = TemporalDynVFE(spec, mlps=[[32, 64]])
+    args = (jnp.asarray(batch['points']), jnp.asarray(batch['point_mask']),
+            jnp.asarray(batch['points_prev']),
+            jnp.asarray(batch['point_mask_prev']))
+    params = vfe.init(jax.random.PRNGKey(0), *args, False)
+    cur_b, prv_b = vfe.apply(params, *args, False)
+    # true sequential per-frame calls on the shared encoder (the train-path
+    # composition), bypassing the batched fast path
+    one = lambda p, m: vfe.apply(
+        params, p, m, False,
+        method=lambda mod, pp, mm, tr: mod.encoder(pp, mm, tr))
+    cur_s = one(args[0], args[1])
+    prv_s = one(args[2], args[3])
+    for k in cur_b:
+        np.testing.assert_allclose(np.asarray(cur_b[k], np.float32),
+                                   np.asarray(cur_s[k], np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(prv_b[k], np.float32),
+                                   np.asarray(prv_s[k], np.float32),
+                                   atol=1e-5, rtol=1e-5)
+    cur_only, _ = vfe.apply(params, *args, False, prev_needed=False)
+    for k in cur_b:
+        np.testing.assert_allclose(np.asarray(cur_only[k], np.float32),
+                                   np.asarray(cur_b[k], np.float32),
+                                   atol=1e-5, rtol=1e-5)

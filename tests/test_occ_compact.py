@@ -244,6 +244,58 @@ def test_bucketed_compact_matches_dense(cross, pallas_interpret):
     )
 
 
+@pytest.mark.parametrize('cross', [False, True])
+def test_combined_serving_rows_match_per_bucket(cross):
+    """The serving path (one gather + in-place row kernels + one scatter,
+    pallas_encoder.encoder_layer_rows_*) == the per-bucket path == dense, in
+    Pallas interpret mode (three buckets populated)."""
+    from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
+    from tmae_tpu.ops import pallas_encoder as pe
+    from tmae_tpu.ops.occ_compact import build_bucketed_compact_info
+
+    rng = np.random.RandomState(9)
+    B, H, W, C = 2, 32, 32, 128
+    occ = np.array(_occ(rng, B, H, W, 0.04))
+    occ[:, 2:10, 2:10] = True     # a full window
+    occ[:, 18:24, 2:10] = True    # ~mid-density windows
+    occ = jnp.asarray(occ)
+    kocc = np.array(_occ(rng, B, H, W, 0.04))
+    kocc[:, 4:12, 4:12] = True
+    kocc = jnp.asarray(kocc)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    kv = jnp.where(kocc[..., None],
+                   jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    kv_grid = DenseGrid(x=kv, occ=kocc) if cross else None
+    mk = lambda serving, use_pallas: DenseEncoderLayer(
+        d_model=C, nhead=8, dim_feedforward=256, window=8, shift=False,
+        cross=cross, use_pallas=use_pallas, serving=serving,
+    )
+    params = mk(False, False).init(jax.random.PRNGKey(0), grid, kv_grid)
+    dense_out = mk(False, False).apply(params, grid, kv_grid)
+    try:
+        oc.set_interpret(True)
+        pe.set_interpret(True)
+        bc = build_bucketed_compact_info(
+            occ, 8, False, small_cap=32, full_cap=16, grid_hw=(H, W),
+            kv_occ=kocc if cross else None, small_tokens=16,
+            mid_cap=16, mid_tokens=48,
+        )
+        assert bc.cat_idx is not None
+        per_bucket = mk(False, True).apply(params, grid, kv_grid, bc)
+        combined = mk(True, True).apply(params, grid, kv_grid, bc)
+    finally:
+        oc.set_interpret(False)
+        pe.set_interpret(False)
+    np.testing.assert_allclose(
+        np.asarray(combined.x, np.float32),
+        np.asarray(per_bucket.x, np.float32), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(combined.x, np.float32),
+        np.asarray(dense_out.x, np.float32), atol=3e-2, rtol=3e-2)
+
+
 def test_bucketed_compact_gradients_flow():
     """Gradients flow through the bucketed path (sel VJP + delta scatter)."""
     from tmae_tpu.models.sst import DenseEncoderLayer, DenseGrid
@@ -289,6 +341,30 @@ def test_sstblock_with_cap_matches_without():
     blk_d = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False)
     blk_c = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False,
                      occ_window_cap=16)
+    params = blk_d.init(jax.random.PRNGKey(0), grid, False)
+    out_d = blk_d.apply(params, grid, False)
+    out_c = blk_c.apply(params, grid, False)
+    np.testing.assert_allclose(np.asarray(out_c.x), np.asarray(out_d.x),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_sstblock_two_blocks_stage_carrier_matches_dense():
+    """NUM_BLOCKS=2 exercises the stage-level padded carrier: one pad/unpad
+    for the whole stage, with a repad between shift blocks (models/sst.py)."""
+    from tmae_tpu.models.sst import SSTBlock, DenseGrid
+
+    rng = np.random.RandomState(11)
+    B, H, W, C = 1, 16, 16, 128
+    occ = _occ(rng, B, H, W, 0.3)
+    x = jnp.where(occ[..., None],
+                  jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)), 0.0)
+    grid = DenseGrid(x=x, occ=occ)
+    ecfg = dict(NUM_BLOCKS=2, STRIDE=1, D_MODEL=C, NHEAD=8,
+                DIM_FEEDFORWARD=256)
+    blk_d = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False)
+    blk_c = SSTBlock(encoder_cfg=ecfg, window=8, max_tokens=64, remat=False,
+                     occ_window_cap=16, occ_small_cap=16)
     params = blk_d.init(jax.random.PRNGKey(0), grid, False)
     out_d = blk_d.apply(params, grid, False)
     out_c = blk_c.apply(params, grid, False)

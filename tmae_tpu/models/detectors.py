@@ -76,8 +76,10 @@ class _DetectorBase(nn.Module):
     occ_mid_tokens: int = 48
     vfe_compute: str = 'f32'  # RUNTIME.VFE_COMPUTE: 'bf16' halves VFE traffic
 
-    def _vfe(self, batch, train):
-        """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras)."""
+    def _vfe(self, batch, train, skip_prev: bool = False):
+        """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras).
+        ``skip_prev``: streaming serving — the prev pyramid is cached, so the
+        prev-frame VFE is skipped (vs_prv aliases vs_cur, unused)."""
         vfe_cfg = self.model_cfg['VFE']
         name = vfe_cfg['NAME']
         hw = _grid_hw(self.spec)
@@ -92,6 +94,7 @@ class _DetectorBase(nn.Module):
             cur, prv = TemporalDynVFE(self.spec, name='vfe', **kwargs)(
                 batch['points'], batch['point_mask'],
                 batch['points_prev'], batch['point_mask_prev'], train,
+                prev_needed=not skip_prev,
             )
             vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
                               prv['voxel_mask'], hw)
@@ -130,7 +133,8 @@ class CenterPoint(_DetectorBase):
         ``hidden_cur`` back in as ``cached_prev`` to skip the prev-frame
         pyramid (it equals the previous step's cur pyramid on consecutive
         frames)."""
-        vs_cur, vs_prv, _ = self._vfe(batch, train)
+        vs_cur, vs_prv, _ = self._vfe(batch, train,
+                                      skip_prev=cached_prev is not None)
         b3d = self.model_cfg['BACKBONE_3D']
         hidden_cur = None
         if b3d['NAME'] == 'SiamWCA':

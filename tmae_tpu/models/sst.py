@@ -191,6 +191,10 @@ class DenseEncoderLayer(nn.Module):
     tau_min: float = 0.01
     cross: bool = False
     use_pallas: bool | None = None
+    # serving=True (inference) enables the combined-bucket execution: one
+    # gather + in-place row kernels + one scatter per layer instead of a
+    # gather/kernel/scatter triple per bucket (forward-only Pallas path)
+    serving: bool = False
 
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
@@ -309,13 +313,48 @@ class DenseEncoderLayer(nn.Module):
                 out = out.reshape(B, cap, T, C)
                 return scatter_windows_into_padded(out, si.idx, xp, w)
 
+            def run_combined(bc, xp):
+                # serving: ONE gather over the concatenated plan, per-bucket
+                # in-place row kernels, ONE scatter (see pallas_encoder.py
+                # combined-bucket section). Forward-only Pallas.
+                xw_all = gather_windows_padded(xp, bc.cat_idx, w)
+                kv_all = (gather_windows_padded(kvp, bc.cat_idx, w)
+                          if cross else None)
+                lo = 0
+                for si in (bc.small, bc.mid):
+                    if si is None or not si.idx.shape[1]:
+                        continue
+                    xw_all = pallas_encoder.encoder_layer_rows_sel(
+                        xw_all, kv_all, si.sel,
+                        si.ksel if cross else si.sel, si.qmask,
+                        si.kmask if cross else si.qmask, pos, *params,
+                        nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+                        row_lo=lo,
+                    )
+                    lo += si.idx.shape[1]
+                ci = bc.full
+                if ci is not None and ci.idx.shape[1]:
+                    xw_all = pallas_encoder.encoder_layer_rows_full(
+                        xw_all, kv_all, ci.qmask,
+                        ci.kmask if cross else ci.qmask, pos, *params,
+                        nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+                        row_lo=lo,
+                    )
+                return scatter_windows_into_padded(xw_all, bc.cat_idx, xp, w)
+
             if isinstance(compact, BucketedCompact):
-                if compact.full is not None and compact.full.idx.shape[1]:
-                    xp = run_full(compact.full, xp)
-                if compact.mid is not None and compact.mid.idx.shape[1]:
-                    xp = run_small(compact.mid, xp)
-                if compact.small is not None and compact.small.idx.shape[1]:
-                    xp = run_small(compact.small, xp)
+                if (self.serving and use_pallas
+                        and compact.cat_idx is not None):
+                    xp = run_combined(compact, xp)
+                else:
+                    if (compact.full is not None
+                            and compact.full.idx.shape[1]):
+                        xp = run_full(compact.full, xp)
+                    if compact.mid is not None and compact.mid.idx.shape[1]:
+                        xp = run_small(compact.mid, xp)
+                    if (compact.small is not None
+                            and compact.small.idx.shape[1]):
+                        xp = run_small(compact.small, xp)
             else:
                 xp = run_full(compact, xp)
             if carriers is not None:
@@ -370,15 +409,22 @@ class DenseShiftBlock(nn.Module):
     cosine: bool = True
     tau_min: float = 0.01
     cross: bool = False
+    # carrier_io: the caller owns the padded carrier — __call__ receives
+    # ``xp_in`` (shift0 geometry) and returns the updated padded carrier
+    # (shift1 geometry) instead of a DenseGrid, so a multi-block stage pays
+    # ONE pad and ONE unpad total (SSTBlock hoists it)
+    carrier_io: bool = False
+    serving: bool = False
 
     @nn.compact
     def __call__(self, grid: DenseGrid, kv_grid: DenseGrid | None = None,
-                 compact_pair=None):
+                 compact_pair=None, xp_in=None):
         layers = [
             DenseEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.window,
                 shift=(i % 2 == 1), activation=self.activation,
                 cosine=self.cosine, tau_min=self.tau_min, cross=self.cross,
+                serving=self.serving,
                 name=f'EncoderLayer_{i}',
             )
             for i in range(2)
@@ -391,7 +437,8 @@ class DenseShiftBlock(nn.Module):
             w = self.window
             dt = COMPUTE_DTYPE
             cross = self.cross and kv_grid is not None
-            xp = pad_grid(grid.x.astype(dt), w, False)
+            xp = (xp_in if xp_in is not None
+                  else pad_grid(grid.x.astype(dt), w, False))
             kvp0 = (pad_grid(kv_grid.x.astype(dt), w, False)
                     if cross else None)
             kvp = kvp0
@@ -403,6 +450,8 @@ class DenseShiftBlock(nn.Module):
                            if cross else None)
                 xp = layers[i](grid, kv_grid, compact_pair[i % 2],
                                carriers=(xp, kvp))
+            if self.carrier_io:
+                return xp
             x = unpad_grid(xp, grid.grid_hw, w, True)
             return DenseGrid(x=x, occ=grid.occ)
         for i in range(2):
@@ -500,14 +549,35 @@ class SSTBlock(nn.Module):
         # remat each shift block: the window tensors dominate training memory
         # (jax.checkpoint trades recompute for HBM, DESIGN.md §6)
         block_cls = nn.remat(DenseShiftBlock) if self.remat else DenseShiftBlock
-        for i in range(ecfg['NUM_BLOCKS']):
-            g = block_cls(
-                d_model, ecfg['NHEAD'], dim_ff, self.window,
-                activation=ecfg.get('ACTIVATION', 'gelu'),
-                cosine=layer_cfg.get('cosine', True),
-                tau_min=layer_cfg.get('tau_min', 0.01),
-                name=f'encoder_{i}',
-            )(g, None, compact_pair)
+        if compact_pair is not None:
+            # stage-level padded carrier: ONE pad + ONE unpad for the whole
+            # stage; between blocks a single fused crop+pad converts the
+            # shift1 end geometry back to shift0
+            from ..ops.occ_compact import pad_grid, repad_grid, unpad_grid
+
+            xp = pad_grid(g.x.astype(COMPUTE_DTYPE), self.window, False)
+            for i in range(ecfg['NUM_BLOCKS']):
+                if i:
+                    xp = repad_grid(xp, self.window, True, False)
+                xp = block_cls(
+                    d_model, ecfg['NHEAD'], dim_ff, self.window,
+                    activation=ecfg.get('ACTIVATION', 'gelu'),
+                    cosine=layer_cfg.get('cosine', True),
+                    tau_min=layer_cfg.get('tau_min', 0.01),
+                    carrier_io=True, serving=not train,
+                    name=f'encoder_{i}',
+                )(g, None, compact_pair, xp)
+            g = DenseGrid(
+                x=unpad_grid(xp, g.grid_hw, self.window, True), occ=g.occ)
+        else:
+            for i in range(ecfg['NUM_BLOCKS']):
+                g = block_cls(
+                    d_model, ecfg['NHEAD'], dim_ff, self.window,
+                    activation=ecfg.get('ACTIVATION', 'gelu'),
+                    cosine=layer_cfg.get('cosine', True),
+                    tau_min=layer_cfg.get('tau_min', 0.01),
+                    name=f'encoder_{i}',
+                )(g, None, compact_pair)
 
         # residual add (spt_backbone.py:349-351) then SubM conv_out
         y = x + g.x

@@ -130,7 +130,27 @@ class TemporalDynVFE(nn.Module):
         )
 
     def __call__(self, points, point_mask, points_prev, point_mask_prev,
-                 train: bool):
+                 train: bool, prev_needed: bool = True):
+        if not prev_needed:
+            # streaming serving: the prev pyramid comes from the cache, so
+            # the prev-frame VFE is dead work — run cur only
+            cur = self.encoder(points, point_mask, train)
+            return cur, cur
+        if not train:
+            # the VFE is op-latency-bound (many small segment/gather ops), so
+            # at eval the two frames run as ONE batched pass — with BN on
+            # running averages this is exactly the two sequential calls.
+            # Training keeps separate calls: the reference's shared VFE
+            # computes BN batch stats per frame (temporal_dyn_vfe.py:127-162)
+            both = self.encoder(
+                jnp.concatenate([points, points_prev], axis=0),
+                jnp.concatenate([point_mask, point_mask_prev], axis=0),
+                train,
+            )
+            B = points.shape[0]
+            cur = {k: v[:B] for k, v in both.items()}
+            prv = {k: v[B:] for k, v in both.items()}
+            return cur, prv
         cur = self.encoder(points, point_mask, train)
         prv = self.encoder(points_prev, point_mask_prev, train)
         return cur, prv

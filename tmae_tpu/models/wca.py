@@ -80,7 +80,7 @@ class WCABlock(nn.Module):
             activation=ecfg.get('ACTIVATION', 'gelu'),
             cosine=layer_cfg.get('cosine', True),
             tau_min=layer_cfg.get('tau_min', 0.01),
-            cross=True,
+            cross=True, serving=not train,
             name='block_0',
         )(grid, grid_prv, compact_pair)
 

@@ -70,15 +70,19 @@ def _indices_from_mask(pool: jnp.ndarray, cap: int):
     n_true [B] int32 — may exceed cap). Padding slots point at the dummy
     window (nwy, 0) — one block row below the padded grid."""
     B, nwy, nwx = pool.shape
-    flat = pool.reshape(B, nwy * nwx)
-    order = jnp.argsort(~flat, axis=1, stable=True).astype(jnp.int32)
-    if cap > order.shape[1]:
-        order = jnp.pad(order, ((0, 0), (0, cap - order.shape[1])))
-    slot = order[:, :cap]
+    NW = nwy * nwx
+    flat = pool.reshape(B, NW).astype(jnp.int32)
     nocc = jnp.sum(flat, axis=1)
+    # stable compaction by PREFIX SUM + scatter (raster order preserved) — an
+    # argsort here lowers to a bitonic sort over NW lanes (~78 passes at 4096),
+    # the cumsum+scatter is two linear passes
+    slot_of = jnp.cumsum(flat, axis=1) - 1            # slot of each true window
+    dest = jnp.where((flat > 0) & (slot_of < cap), slot_of, cap)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
+    dummy = jnp.int32(NW)  # flat id of (nwy, 0)
+    slot = jnp.full((B, cap + 1), dummy, jnp.int32).at[
+        jnp.arange(B)[:, None], dest].set(ids, mode='drop')[:, :cap]
     valid = jnp.arange(cap)[None, :] < nocc[:, None]
-    dummy = jnp.int32(nwy * nwx)  # flat id of (nwy, 0)
-    slot = jnp.where(valid, slot, dummy)
     wy = slot // nwx
     wx = slot % nwx
     return jnp.stack([wy, wx], axis=-1), valid, nocc.astype(jnp.int32)
@@ -363,6 +367,23 @@ def _scatter_into_bwd(grid_hw, window, shift, idx, g):
 scatter_windows_into.defvjp(_scatter_into_fwd, _scatter_into_bwd)
 
 
+def _window_occ_view(occ: jnp.ndarray, window: int, shift: bool):
+    """Windowed occupancy [B, NW+1, T] float 0/1 with a trailing dummy window
+    (computed once per (occ, window, shift) and reused across bucket plans)."""
+    ow = window_view(occ[..., None].astype(jnp.float32), window,
+                     shift)[..., 0]                     # [B, NW, T]
+    zero = jnp.zeros_like(ow[:, :1])
+    return jnp.concatenate([ow, zero], axis=1)          # dummy window NW
+
+
+def _gather_occ_rows(ow: jnp.ndarray, idx, nwx: int) -> jnp.ndarray:
+    """Row-gather of a precomputed windowed occupancy: [B, cap, T]."""
+    NW = ow.shape[1] - 1
+    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], NW)
+    out = jnp.take_along_axis(ow, flat[..., None], axis=1)
+    return jax.lax.stop_gradient(out)
+
+
 def gather_window_occ(occ: jnp.ndarray, idx, grid_hw, window: int,
                       shift: bool) -> jnp.ndarray:
     """Per-slot key/query mask [B, cap, w*w] (float 0/1) for gathered windows.
@@ -371,16 +392,9 @@ def gather_window_occ(occ: jnp.ndarray, idx, grid_hw, window: int,
     so a host-side window_view + row take_along beats shipping an 8-lane f32
     copy through the Pallas gather (measured ~2 ms/frame of pad+gather at
     468² across all plan builds)."""
-    B = occ.shape[0]
     H, W = grid_hw
     nwy, nwx, _, _ = window_geometry((H, W), window)
-    ow = window_view(occ[..., None].astype(jnp.float32), window,
-                     shift)[..., 0]                     # [B, NW, T]
-    zero = jnp.zeros_like(ow[:, :1])
-    ow = jnp.concatenate([ow, zero], axis=1)            # dummy window NW
-    flat = jnp.minimum(idx[..., 0] * nwx + idx[..., 1], nwy * nwx)
-    out = jnp.take_along_axis(ow, flat[..., None], axis=1)
-    return jax.lax.stop_gradient(out)
+    return _gather_occ_rows(_window_occ_view(occ, window, shift), idx, nwx)
 
 
 @flax.struct.dataclass
@@ -586,11 +600,17 @@ class SmallCompactInfo:
 @flax.struct.dataclass
 class BucketedCompact:
     """Per-(stage, shift) bucket plan; any bucket may be None. ``mid`` is a
-    second packed bucket (same kernel as ``small``, more tokens)."""
+    second packed bucket (same kernel as ``small``, more tokens).
+
+    ``cat_idx`` concatenates the buckets' window coords in (small, mid, full)
+    order — the serving path gathers/scatters ALL buckets with one Pallas
+    call and each bucket kernel updates its row range in place
+    (pallas_encoder.encoder_layer_rows_*)."""
 
     small: SmallCompactInfo | None
     full: CompactInfo | None
     mid: SmallCompactInfo | None = None
+    cat_idx: jnp.ndarray | None = None  # [B, cap_s+cap_m+cap_f, 2] int32
 
     def overflow(self) -> jnp.ndarray:
         parts = [b.overflow() for b in (self.small, self.mid, self.full)
@@ -601,22 +621,27 @@ class BucketedCompact:
         return out
 
 
-def _cell_selection(occ, idx, grid_hw, window, shift, small_tokens):
+def _cell_selection(ow, idx, nwx, small_tokens):
     """Occupied-first in-window cell ids + slot mask for the windows named by
-    ``idx``: ([B, cap, S] int32, [B, cap, S] float)."""
-    m = gather_window_occ(occ, idx, grid_hw, window, shift)  # [B, cap, T]
-    sel = jnp.argsort(-m, axis=-1, stable=True)[..., :small_tokens]
+    ``idx``: ([B, cap, S] int32, [B, cap, S] float). ``ow`` is the precomputed
+    windowed occupancy from ``_window_occ_view``."""
+    m = _gather_occ_rows(ow, idx, nwx)  # [B, cap, T]
+    # occupied-first ascending raster == top_k on key (T - cell_id) over the
+    # occupied cells (top_k sorts descending by key; cheaper than an argsort
+    # over T lanes across every window slot)
+    T = m.shape[-1]
+    key = m * (T - jax.lax.broadcasted_iota(jnp.float32, m.shape, 2))
+    _, sel = jax.lax.top_k(key, small_tokens)
     mask = jnp.take_along_axis(m, sel, axis=-1)
     return sel.astype(jnp.int32), mask
 
 
-def _packed_bucket(mask, occ, kv_occ, cap, tokens, grid_hw, window, shift):
+def _packed_bucket(mask, ow_q, ow_kv, cap, tokens, nwx):
     idx, valid, n = _indices_from_mask(mask, round_cap(cap))
-    sel, qm = _cell_selection(occ, idx, grid_hw, window, shift, tokens)
+    sel, qm = _cell_selection(ow_q, idx, nwx, tokens)
     ksel = kmask = None
-    if kv_occ is not None:
-        ksel, kmask = _cell_selection(kv_occ, idx, grid_hw, window, shift,
-                                      tokens)
+    if ow_kv is not None:
+        ksel, kmask = _cell_selection(ow_kv, idx, nwx, tokens)
     return SmallCompactInfo(idx, valid, sel, qm, ksel, kmask, n)
 
 
@@ -629,25 +654,33 @@ def build_bucketed_compact_info(occ, window, shift, small_cap, full_cap,
     no cell is ever dropped): <= small_tokens → packed S=small_tokens kernel;
     <= mid_tokens (when mid_cap > 0) → packed S=mid_tokens kernel; else the
     full T=window² kernel."""
-    cnt_q = window_cell_counts(occ, window, shift)
+    H, W = grid_hw
+    _, nwx, _, _ = window_geometry((H, W), window)
+    ow_q = _window_occ_view(occ, window, shift)
+    ow_kv = (_window_occ_view(kv_occ, window, shift)
+             if kv_occ is not None else None)
+    cnt_q = jnp.sum(ow_q[:, :-1], -1, dtype=jnp.int32).reshape(occ.shape[0],
+                                                              -1, nwx)
     occupied = cnt_q > 0
     n_eff = cnt_q
     if kv_occ is not None:
-        n_eff = jnp.maximum(cnt_q, window_cell_counts(kv_occ, window, shift))
+        cnt_kv = jnp.sum(ow_kv[:, :-1], -1, dtype=jnp.int32).reshape(
+            occ.shape[0], -1, nwx)
+        n_eff = jnp.maximum(cnt_q, cnt_kv)
     small_m = occupied & (n_eff <= small_tokens)
-    small = _packed_bucket(small_m, occ, kv_occ, small_cap, small_tokens,
-                           grid_hw, window, shift)
+    small = _packed_bucket(small_m, ow_q, ow_kv, small_cap, small_tokens, nwx)
     mid = None
     rest = occupied & ~small_m
     if mid_cap > 0:
         mid_m = rest & (n_eff <= mid_tokens)
-        mid = _packed_bucket(mid_m, occ, kv_occ, mid_cap, mid_tokens,
-                             grid_hw, window, shift)
+        mid = _packed_bucket(mid_m, ow_q, ow_kv, mid_cap, mid_tokens, nwx)
         rest = rest & ~mid_m
 
     idx_f, valid_f, n_f = _indices_from_mask(rest, round_cap(full_cap))
-    qmask_f = gather_window_occ(occ, idx_f, grid_hw, window, shift)
-    kmask_f = (gather_window_occ(kv_occ, idx_f, grid_hw, window, shift)
+    qmask_f = _gather_occ_rows(ow_q, idx_f, nwx)
+    kmask_f = (_gather_occ_rows(ow_kv, idx_f, nwx)
                if kv_occ is not None else None)
     full = CompactInfo(idx_f, valid_f, qmask_f, kmask_f, n_f)
-    return BucketedCompact(small=small, full=full, mid=mid)
+    cat_idx = jnp.concatenate(
+        [b.idx for b in (small, mid, full) if b is not None], axis=1)
+    return BucketedCompact(small=small, full=full, mid=mid, cat_idx=cat_idx)

@@ -1564,3 +1564,162 @@ def reference_encoder_layer_grid(xg, kvg, qocc, kocc, pos, *params, nhead,
     NW = out.shape[0] // B
     return window_unview(out.reshape(B, NW, *out.shape[1:]), (H, Wd), window,
                          shift)
+
+
+# ---------------------------------------------------------------------------
+# Combined-bucket ROW kernels (serving path).
+#
+# The per-layer compact execution used to launch gather + kernel + scatter
+# per bucket (9-12 pallas_calls/layer at ~tens of µs fixed cost each — the
+# dominant cost once the math itself is bucketed). The combined path gathers
+# ALL buckets' windows with ONE call (concatenated plan, occ_compact.py
+# cat_idx), then each bucket's kernel updates ITS row range of the shared
+# [B, total, T, C] tensor IN PLACE (input_output_aliases; rows outside the
+# grid keep the aliased input), and ONE scatter writes everything back:
+# 5 launches/layer (6 cross) instead of 9 (12).
+#
+# Forward-only (inference/serving); training uses the per-bucket custom_vjp
+# path (models/sst.py gates on `serving`).
+# ---------------------------------------------------------------------------
+
+
+def _row_param_ops(params, dt):
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    C = wq.shape[0]
+    F = f1w.shape[1]
+    wspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    specs = [
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    ]
+    ops = (mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo),
+           row(bo), tau.reshape(1, 1).astype(jnp.float32), row(ln1s),
+           row(ln1b), mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s),
+           row(ln2b))
+    return specs, ops
+
+
+def _kernel_rows_full(*refs, nhead, tau_min, cross):
+    if cross:
+        (x_ref, kv_ref, qm_ref, km_ref, pos_ref), rest = refs[:5], refs[5:]
+    else:
+        (x_ref, qm_ref, pos_ref), rest = refs[:3], refs[3:]
+        kv_ref, km_ref = x_ref, qm_ref
+    o_ref = rest[-1]
+    p = rest[:-1]
+    x = x_ref[0]
+    kv = kv_ref[0] if cross else x
+    out = _layer_body(x, kv, qm_ref[0], km_ref[0] if cross else qm_ref[0],
+                      pos_ref, *p, nhead, tau_min, cross)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _kernel_rows_sel(*refs, nhead, tau_min, cross, small_tokens):
+    if cross:
+        (x_ref, kv_ref, selq_ref, selk_ref, qm_ref, km_ref,
+         pos_ref), rest = refs[:7], refs[7:]
+    else:
+        (x_ref, selq_ref, qm_ref, pos_ref), rest = refs[:4], refs[4:]
+        kv_ref, selk_ref, km_ref = x_ref, selq_ref, qm_ref
+    o_ref = rest[-1]
+    p = rest[:-1]
+    x = x_ref[0]
+    kv = kv_ref[0] if cross else x
+    out = _layer_body_sel(
+        x, kv, selq_ref[0], selk_ref[0] if cross else selq_ref[0],
+        qm_ref[0], km_ref[0] if cross else qm_ref[0], pos_ref, *p,
+        nhead, tau_min, cross, small_tokens,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def encoder_layer_rows_full(xw_all, kv_all, qmask, kmask, pos, *params,
+                            nhead, tau_min, cross, row_lo: int):
+    """Fused full-window layer over rows [row_lo, row_lo+cap) of
+    ``xw_all`` [B, total, T, C], updated IN PLACE (aliased); other rows pass
+    through. ``qmask``/``kmask`` [B, cap, T]. TPU/interpret only."""
+    B, total, T, C = xw_all.shape
+    cap = qmask.shape[1]
+    TW = TILE_WINDOWS
+    assert row_lo % TW == 0 and cap % TW == 0 and row_lo + cap <= total
+    OFF = row_lo // TW
+    dt = xw_all.dtype
+    xspec = pl.BlockSpec((1, TW, T, C), lambda b, i: (b, OFF + i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, TW, T), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((T, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    pspecs, pops = _row_param_ops(params, dt)
+    if cross:
+        in_specs = [xspec, xspec, mspec, mspec, pspec] + pspecs
+        operands = (xw_all, kv_all, qmask.astype(jnp.float32),
+                    kmask.astype(jnp.float32), pos) + pops
+    else:
+        in_specs = [xspec, mspec, pspec] + pspecs
+        operands = (xw_all, qmask.astype(jnp.float32), pos) + pops
+    kernel = functools.partial(_kernel_rows_full, nhead=nhead,
+                               tau_min=tau_min, cross=cross)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xw_all.shape, xw_all.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, cap // TW),
+            in_specs=in_specs,
+            out_specs=xspec,
+        ),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(*operands)
+
+
+def encoder_layer_rows_sel(xw_all, kv_all, sel_q, sel_k, qmask, kmask, pos,
+                           *params, nhead, tau_min, cross, row_lo: int):
+    """Packed (token-bucketed) layer over rows [row_lo, row_lo+cap) of
+    ``xw_all``, updated in place. ``sel_q``/``qmask`` [B, cap, S]."""
+    B, total, T, C = xw_all.shape
+    cap, S = qmask.shape[1], qmask.shape[2]
+    TW = TILE_WINDOWS if S <= 16 else min(TILE_WINDOWS, 16)
+    assert row_lo % TW == 0 and cap % TW == 0 and row_lo + cap <= total
+    OFF = row_lo // TW
+    dt = xw_all.dtype
+    xspec = pl.BlockSpec((1, TW, T, C), lambda b, i: (b, OFF + i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, TW, S), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((T, C), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+    pspecs, pops = _row_param_ops(params, dt)
+    if cross:
+        in_specs = [xspec, xspec, sspec, sspec, sspec, sspec, pspec] + pspecs
+        operands = (xw_all, kv_all, sel_q, sel_k,
+                    qmask.astype(jnp.float32), kmask.astype(jnp.float32),
+                    pos) + pops
+    else:
+        in_specs = [xspec, sspec, sspec, pspec] + pspecs
+        operands = (xw_all, sel_q, qmask.astype(jnp.float32), pos) + pops
+    kernel = functools.partial(_kernel_rows_sel, nhead=nhead,
+                               tau_min=tau_min, cross=cross, small_tokens=S)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xw_all.shape, xw_all.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, cap // TW),
+            in_specs=in_specs,
+            out_specs=xspec,
+        ),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(*operands)
