@@ -117,9 +117,9 @@ def test_gather_gt_points_wraps():
 
 
 def test_temporal_vfe_batched_eval_matches_sequential():
-    """At eval TemporalDynVFE fuses both frames into ONE encoder pass
-    (models/vfe.py); it must equal the per-frame calls exactly (BN runs on
-    running averages), and prev_needed=False must reproduce the cur frame."""
+    """TemporalDynVFE == the two per-frame encoder calls (pins the
+    composition whatever execution strategy the module picks), and
+    prev_needed=False (streaming) must reproduce the cur frame."""
     from tmae_tpu.models.detectors import make_voxel_spec
     from tmae_tpu.models.vfe import TemporalDynVFE
 

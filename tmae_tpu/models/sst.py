@@ -342,8 +342,10 @@ class DenseEncoderLayer(nn.Module):
                     )
                 return scatter_windows_into_padded(xw_all, bc.cat_idx, xp, w)
 
+            import os as _os
+            no_combined = bool(_os.environ.get('TMAE_NO_COMBINED'))
             if isinstance(compact, BucketedCompact):
-                if (self.serving and use_pallas
+                if (self.serving and use_pallas and not no_combined
                         and compact.cat_idx is not None):
                     xp = run_combined(compact, xp)
                 else:

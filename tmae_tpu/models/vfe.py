@@ -136,21 +136,10 @@ class TemporalDynVFE(nn.Module):
             # the prev-frame VFE is dead work — run cur only
             cur = self.encoder(points, point_mask, train)
             return cur, cur
-        if not train:
-            # the VFE is op-latency-bound (many small segment/gather ops), so
-            # at eval the two frames run as ONE batched pass — with BN on
-            # running averages this is exactly the two sequential calls.
-            # Training keeps separate calls: the reference's shared VFE
-            # computes BN batch stats per frame (temporal_dyn_vfe.py:127-162)
-            both = self.encoder(
-                jnp.concatenate([points, points_prev], axis=0),
-                jnp.concatenate([point_mask, point_mask_prev], axis=0),
-                train,
-            )
-            B = points.shape[0]
-            cur = {k: v[:B] for k, v in both.items()}
-            prv = {k: v[B:] for k, v in both.items()}
-            return cur, prv
+        # NB: batching the two frames into one concatenated encoder pass was
+        # measured SLOWER on TPU (10.4 ms vs 4.5 ms for the two sequential
+        # calls at P=65536 — the segment/scatter ops scale superlinearly in
+        # batch), so the frames run per-call. See tools/profile_stages.py.
         cur = self.encoder(points, point_mask, train)
         prv = self.encoder(points_prev, point_mask_prev, train)
         return cur, prv

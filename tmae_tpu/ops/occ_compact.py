@@ -36,6 +36,12 @@ from .dense_windows import window_geometry, window_view, window_unview
 
 _INTERPRET = False
 
+# A/B toggle (read once at import): TMAE_PLAN_ARGSORT=1 switches the plan
+# compaction back to the stable-argsort formulation for measurement.
+import os as _os
+
+_PLAN_ARGSORT = bool(_os.environ.get('TMAE_PLAN_ARGSORT'))
+
 
 def set_interpret(flag: bool):
     global _INTERPRET
@@ -73,16 +79,22 @@ def _indices_from_mask(pool: jnp.ndarray, cap: int):
     NW = nwy * nwx
     flat = pool.reshape(B, NW).astype(jnp.int32)
     nocc = jnp.sum(flat, axis=1)
-    # stable compaction by PREFIX SUM + scatter (raster order preserved) — an
-    # argsort here lowers to a bitonic sort over NW lanes (~78 passes at 4096),
-    # the cumsum+scatter is two linear passes
-    slot_of = jnp.cumsum(flat, axis=1) - 1            # slot of each true window
-    dest = jnp.where((flat > 0) & (slot_of < cap), slot_of, cap)
-    ids = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
     dummy = jnp.int32(NW)  # flat id of (nwy, 0)
-    slot = jnp.full((B, cap + 1), dummy, jnp.int32).at[
-        jnp.arange(B)[:, None], dest].set(ids, mode='drop')[:, :cap]
     valid = jnp.arange(cap)[None, :] < nocc[:, None]
+    if _PLAN_ARGSORT:
+        order = jnp.argsort(1 - flat, axis=1, stable=True).astype(jnp.int32)
+        if cap > NW:
+            order = jnp.pad(order, ((0, 0), (0, cap - NW)))
+        slot = jnp.where(valid, order[:, :cap], dummy)
+    else:
+        # stable compaction by PREFIX SUM + scatter (raster order preserved)
+        # — an argsort here lowers to a bitonic sort over NW lanes (~78
+        # passes at 4096), the cumsum+scatter is two linear passes
+        slot_of = jnp.cumsum(flat, axis=1) - 1        # slot of each true win
+        dest = jnp.where((flat > 0) & (slot_of < cap), slot_of, cap)
+        ids = jax.lax.broadcasted_iota(jnp.int32, (B, NW), 1)
+        slot = jnp.full((B, cap + 1), dummy, jnp.int32).at[
+            jnp.arange(B)[:, None], dest].set(ids, mode='drop')[:, :cap]
     wy = slot // nwx
     wx = slot % nwx
     return jnp.stack([wy, wx], axis=-1), valid, nocc.astype(jnp.int32)
