@@ -13,12 +13,25 @@ T-MAE runs the SST encoder twice (two frames) plus WCA cross-attention. 15-25
 fps at batch 1 on A100 brackets the plausible range; we keep 20 fps as the
 documented anchor => target = 2 x 20 = 40 fps.
 
-Robustness: the measurement runs in a CHILD process that streams partial
-results; the PARENT enforces a wall-clock deadline (BENCH_BUDGET_S, default
-480 s) that works even while the child is blocked inside a long XLA compile
-(where in-process signal handlers cannot fire). The parent always prints
-exactly one JSON line — the child's final result, or the last streamed
-partial, or a zero-value record.
+Robustness (VERDICT r3 #1 — the bench must survive a COLD compile cache within
+the driver's 480 s budget):
+
+* The measurement runs in a CHILD process streaming partial results; the
+  PARENT enforces the wall-clock deadline (BENCH_BUDGET_S, default 480 s) and
+  always prints exactly one JSON line — the child's final result, else the
+  last streamed partial, else a zero record. The deadline works even while
+  the child is blocked inside a long XLA compile.
+* STAGED measurement inside the child: params come from a TINY-GRID init
+  (param shapes are grid/cap-independent — seconds instead of ~54 s), then
+  stage A compiles the fast round-2-style unbucketed compact graph (~40 s
+  measured cold) and emits a partial ≥16.5 fps, then stage B compiles the
+  token-bucketed serving graph (~130 s measured cold) and emits the upgraded
+  final number. If the compile service is cold/slow and stage B misses the
+  deadline, the parent keeps stage A's partial instead of 0.0.
+* The persistent compile cache (.jax_cache) is written on first run
+  (verified working on the axon backend, tools/profile_compile.py), making
+  warm re-runs near-instant; the staging above is what makes the COLD run
+  safe and does not rely on the cache.
 """
 
 from __future__ import annotations
@@ -53,6 +66,7 @@ def child():
     cache_dir.mkdir(exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', str(cache_dir))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
     import jax.numpy as jnp
 
     from tmae_tpu.config import cfg_from_yaml_file
@@ -68,7 +82,10 @@ def child():
                          f'{msg}\n')
         sys.stderr.flush()
 
-    cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+    def load_cfg():
+        return cfg_from_yaml_file(REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+
+    cfg = load_cfg()
     # BENCH_BATCH > 1 measures batched serving throughput (frames/sec/chip
     # still counts every frame); the driver-facing default stays at the
     # reference harness's batch 1 (eval_utils.py:57-77)
@@ -77,41 +94,55 @@ def child():
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=bench_batch,
         training=False, runtime_cfg=cfg.RUNTIME, seed=0,
     )
-    model = build_detector(cfg)
     batch = next(iter(loader))
     dev_batch = {
         k: jnp.asarray(v) for k, v in batch.items()
         if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')
     }
     note('data ready')
+
+    # --- tiny-grid init: same MODEL section => identical param tree, but the
+    # init forward traces a 64x64 grid with small caps (seconds, not ~54 s)
+    tiny = load_cfg()
+    tiny.DATA_CONFIG.POINT_CLOUD_RANGE = [-10.24, -10.24, -5.0, 10.24, 10.24, 3.0]
+    tiny.DATA_CONFIG.NUM_SYNTHETIC_SAMPLES = 2
+    tiny.DATA_CONFIG.SYNTHETIC_POINTS = 2000
+    tiny.DATA_CONFIG.SYNTHETIC_BOXES = 4
+    tiny.RUNTIME.MAX_POINTS = 4096
+    tiny.RUNTIME.MAX_VOXELS = [4096, 2048, 1024]
+    tiny.RUNTIME.OCC_WINDOW_CAPS = [64, 32, 16]
+    tiny.RUNTIME.OCC_SMALL_CAPS = [0, 0, 0]
+    tiny.RUNTIME.OCC_MID_CAPS = [0, 0, 0]
+    _, tiny_loader = build_dataloader(
+        tiny.DATA_CONFIG, tiny.CLASS_NAMES, batch_size=bench_batch,
+        training=False, runtime_cfg=tiny.RUNTIME, seed=0,
+    )
+    tb = next(iter(tiny_loader))
+    tiny_batch = {k: jnp.asarray(v) for k, v in tb.items() if k in dev_batch}
+    tiny_model = build_detector(tiny)
     variables = jax.jit(
-        lambda rng, b: model.init(rng, b, train=False)
-    )(jax.random.PRNGKey(0), dev_batch)
-    note('params ready')
+        lambda rng, b: tiny_model.init(rng, b, train=False)
+    )(jax.random.PRNGKey(0), tiny_batch)
+    jax.block_until_ready(variables)
+    note('params ready (tiny-grid init)')
 
     # BENCH_NMS=device keeps rotated NMS on device. Host is the default:
     # the K=500 candidates ship to the host anyway (they ARE the result), the
-    # C++ NMS costs ~0.1 ms there, while the device rotated-IoU matrix
-    # currently costs ~300 ms (measured; a Pallas IoU kernel is the known
-    # gap). Equivalence of the two paths: tests/test_nms_device_host.py.
+    # C++ NMS costs ~2.4 ms there and is hidden by the pipelined dispatch,
+    # while the device NMS burns device time (13.7 ms measured r3).
+    # Equivalence of the two paths: tests/test_nms_device_host.py.
     nms_device = os.environ.get('BENCH_NMS', 'host') == 'device'
 
-    @jax.jit
-    def infer(variables, b):
-        out = model.apply(variables, b, train=False)
-        # serving hot path: approximate top-k (recall 0.99); eval uses exact
-        return centerpoint_predict(cfg, out, nms_on_device=nms_device,
-                                   exact_topk=False)
+    def make_infer(stage_cfg):
+        model = build_detector(stage_cfg)
 
-    def full_infer(b):
-        boxes, scores, labels, valid = jax.device_get(infer(variables, b))
-        if not nms_device:
-            valid = host_nms(cfg, boxes, scores, labels, valid)
-        return valid
-
-    # warmup / compile (includes the host-NMS library build)
-    full_infer(dev_batch)
-    note('warmup done')
+        @jax.jit
+        def infer(variables, b):
+            out = model.apply(variables, b, train=False)
+            # serving hot path: approximate top-k (recall 0.99); eval uses exact
+            return centerpoint_predict(stage_cfg, out, nms_on_device=nms_device,
+                                       exact_topk=False)
+        return model, infer
 
     def emit(tag, fps):
         print(json.dumps({
@@ -122,35 +153,63 @@ def child():
             'vs_baseline': round(fps / TARGET_FPS, 3),
         }), flush=True)
 
-    # timed reps (reference eval_infer_speed: 200 reps with warmup slicing,
-    # eval_utils.py:57-77; 30 reps here bounds bench time). Double-buffered:
-    # dispatch frame i+1 before fetching frame i's results — every frame's
-    # boxes still reach the host (+ host NMS there), but the relay round-trip
-    # overlaps device compute. This measures steady-state THROUGHPUT, the
-    # metric the frames/sec/chip target names.
     import collections
 
-    reps = 30
+    reps = int(os.environ.get('BENCH_REPS', '30'))
     depth = int(os.environ.get('BENCH_PIPELINE_DEPTH', '4'))
-    done = 0
-    t0 = time.perf_counter()
-    inflight = collections.deque()
-    for _ in range(reps):
-        inflight.append(infer(variables, dev_batch))
-        if len(inflight) >= depth:
+
+    def measure(infer, tag):
+        """Pipelined throughput: dispatch frame i+1 before fetching frame i's
+        results — every frame's boxes still reach the host (+ host NMS there),
+        but the relay round-trip overlaps device compute. This measures
+        steady-state THROUGHPUT, the metric the frames/sec/chip target names
+        (reference harness: 200-rep eval_infer_speed, eval_utils.py:57-77)."""
+        done = 0
+        t0 = time.perf_counter()
+        inflight = collections.deque()
+        for _ in range(reps):
+            inflight.append(infer(variables, dev_batch))
+            if len(inflight) >= depth:
+                boxes, scores, labels, valid = jax.device_get(inflight.popleft())
+                if not nms_device:
+                    host_nms(cfg, boxes, scores, labels, valid)
+                done += 1
+                emit('partial-' + tag, done * dev_batch['points'].shape[0] /
+                     (time.perf_counter() - t0))
+        while inflight:
             boxes, scores, labels, valid = jax.device_get(inflight.popleft())
             if not nms_device:
                 host_nms(cfg, boxes, scores, labels, valid)
             done += 1
-            emit('partial', done * dev_batch['points'].shape[0] /
-                 (time.perf_counter() - t0))
-    while inflight:
-        boxes, scores, labels, valid = jax.device_get(inflight.popleft())
+        fps = done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
+        emit(tag, fps)
+        return fps
+
+    # --- stage A: round-2-style unbucketed compact graph (fast compile) ---
+    stages = os.environ.get('BENCH_STAGES', 'A,B').split(',')
+    if 'A' in stages:
+        cfg_a = load_cfg()
+        cfg_a.RUNTIME.OCC_WINDOW_CAPS = [1024, 384, 128]
+        cfg_a.RUNTIME.OCC_SMALL_CAPS = [0, 0, 0]
+        cfg_a.RUNTIME.OCC_MID_CAPS = [0, 0, 0]
+        _, infer_a = make_infer(cfg_a)
+        full = infer_a(variables, dev_batch)
+        jax.block_until_ready(full)
         if not nms_device:
-            host_nms(cfg, boxes, scores, labels, valid)
-        done += 1
-    fps = done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
-    emit('final', fps)
+            host_nms(cfg, *jax.device_get(full))  # warm the host-NMS library
+        note('stage A (unbucketed) compiled + warm')
+        fps_a = measure(infer_a, 'stage_a')
+        note(f'stage A fps: {fps_a:.2f}')
+
+    # --- stage B: token-bucketed serving graph (the fast tier) ---
+    if 'B' in stages:
+        cfg_b = load_cfg()
+        _, infer_b = make_infer(cfg_b)
+        full = infer_b(variables, dev_batch)
+        jax.block_until_ready(full)
+        note('stage B (bucketed) compiled + warm')
+        fps_b = measure(infer_b, 'final')
+        note(f'stage B fps: {fps_b:.2f}')
 
     # optional STREAMING serving measurement (stderr note only): on
     # consecutive frames the prev-frame pyramid equals the previous step's
@@ -159,10 +218,12 @@ def child():
     # driver metric above stays the stateless two-frame forward (the
     # reference harness's semantics, eval_utils.py:57-77).
     if os.environ.get('BENCH_STREAMING'):
+        model_b = build_detector(load_cfg())
+
         @jax.jit
         def infer_stream(variables, b, cached):
-            out = model.apply(variables, b, train=False,
-                              cached_prev=cached, return_hidden=True)
+            out = model_b.apply(variables, b, train=False,
+                                cached_prev=cached, return_hidden=True)
             preds = centerpoint_predict(cfg, out, nms_on_device=nms_device,
                                         exact_topk=False)
             return preds, out['hidden_cur']
@@ -198,9 +259,16 @@ def child():
     # fps + occupied-window counts vs the compaction caps (VERDICT r2 #7)
     if os.environ.get('BENCH_DENSITY_SWEEP'):
         import numpy as np
+        model_b, infer_b2 = make_infer(load_cfg())
+
+        def full_infer(b):
+            out = jax.device_get(infer_b2(variables, b))
+            if not nms_device:
+                host_nms(cfg, *out)
+            return out
+
         for dens in (0.5, 2.0):
-            dcfg = cfg_from_yaml_file(
-                REPO / 'tools/cfgs/once_models/t_mae_synth.yaml')
+            dcfg = load_cfg()
             dcfg.DATA_CONFIG.SYNTHETIC_DENSITY = dens
             _, dloader = build_dataloader(
                 dcfg.DATA_CONFIG, dcfg.CLASS_NAMES, batch_size=bench_batch,
