@@ -117,8 +117,34 @@ def reg_loss_centernet(pred_maps, inds, targets, mask, code_weights):
     return jnp.sum(per_dim * jnp.asarray(code_weights, pred.dtype))
 
 
-def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
-    """Total loss over head groups (center_head.py:239-279)."""
+def _decode_boxes_at_inds(pd, inds, voxel_size, pc_range,
+                          feature_map_stride, W):
+    """Decode predicted boxes [B, M, 7] at target cells from the head maps —
+    the IoU-loss box reconstruction (reference center_head.py:260-274),
+    gathered at ``inds`` instead of materializing the full (B, 7, H, W) map."""
+    ys = (inds // W).astype(jnp.float32)
+    xs = (inds % W).astype(jnp.float32)
+    ctr = C.gather_feat_nhwc(pd['center'], inds)
+    cz = C.gather_feat_nhwc(pd['center_z'], inds)[..., 0]
+    dims = jnp.exp(C.gather_feat_nhwc(pd['dim'], inds))
+    rot = C.gather_feat_nhwc(pd['rot'], inds)
+    angle = jnp.arctan2(rot[..., 1], rot[..., 0])
+    xs = (xs + ctr[..., 0]) * feature_map_stride * voxel_size[0] + pc_range[0]
+    ys = (ys + ctr[..., 1]) * feature_map_stride * voxel_size[1] + pc_range[1]
+    return jnp.stack(
+        [xs, ys, cz, dims[..., 0], dims[..., 1], dims[..., 2], angle], axis=-1)
+
+
+def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights,
+                     iou_cfg=None):
+    """Total loss over head groups (center_head.py:239-279).
+
+    ``iou_cfg`` (dict with voxel_size, pc_range, feature_map_stride) enables
+    the optional IoU-head loss when a group predicts an ``iou`` map
+    (center_head.py:97,260-277): L1 between the iou channel at target cells
+    and 2*IoU3D(decoded detached boxes, gt boxes) - 1."""
+    from ..ops.losses import centernet_iou_loss
+
     total = 0.0
     tb = {}
     for gi, (pd, td) in enumerate(zip(pred_dicts, target_dicts)):
@@ -133,6 +159,17 @@ def center_head_loss(pred_dicts, target_dicts, head_order, loss_weights):
         total = total + hm_loss + loc_loss
         tb[f'hm_loss_head_{gi}'] = hm_loss
         tb[f'loc_loss_head_{gi}'] = loc_loss
+        if 'iou' in pd and iou_cfg is not None:
+            W = pd['hm'].shape[2]
+            pred_boxes = jax.lax.stop_gradient(_decode_boxes_at_inds(
+                pd, td['inds'], iou_cfg['voxel_size'], iou_cfg['pc_range'],
+                iou_cfg['feature_map_stride'], W))
+            iou_pred = C.gather_feat_nhwc(pd['iou'], td['inds'])[..., 0]
+            iou_loss = centernet_iou_loss(
+                iou_pred, td['mask'], pred_boxes, td['iou_boxes'],
+            ) * loss_weights.get('iou_weight', 1.0)
+            total = total + iou_loss
+            tb[f'iou_loss_head_{gi}'] = iou_loss
     return total, tb
 
 
@@ -162,6 +199,7 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
     s_cls, i_cls = C.topk_heatmap_classwise(hm_all, K, exact=exact_topk)
 
     all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+    all_ious = []
     c0 = 0
     for gi, pd in enumerate(pred_dicts):
         Cg = pd['hm'].shape[-1]
@@ -178,6 +216,12 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
         cz = C.gather_feat_nhwc(pd['center_z'], inds)[..., 0]
         dims = jnp.exp(C.gather_feat_nhwc(pd['dim'], inds))
         angle = jnp.arctan2(rot[..., 1], rot[..., 0])
+        if 'iou' in pd:
+            # IoU head: map the raw channel to [0, 1] (center_head.py:298-299)
+            iou_g = C.gather_feat_nhwc(pd['iou'], inds)[..., 0]
+            ious = jnp.clip((iou_g + 1.0) * 0.5, 0.0, 1.0)
+        else:
+            ious = jnp.ones_like(scores)
         xs = (xs + ctr[..., 0]) * feature_map_stride * vs[0] + pc[0]
         ys = (ys + ctr[..., 1]) * feature_map_stride * vs[1] + pc[1]
         boxes = jnp.concatenate(
@@ -193,12 +237,23 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
         all_scores.append(scores)
         all_labels.append(labels)
         all_valid.append(ok)
+        all_ious.append(ious)
     boxes = jnp.concatenate(all_boxes, axis=1)
     scores = jnp.concatenate(all_scores, axis=1)
     labels = jnp.concatenate(all_labels, axis=1)
     valid = jnp.concatenate(all_valid, axis=1)
 
-    # sort by score desc (scores of invalid → -1 so they sink)
+    multi_class = str(nms_cfg.get('NMS_TYPE', 'nms_gpu')) == 'multi_class_nms'
+    if multi_class:
+        # IoU-rectified per-class scores (model_nms_utils.py:28-33):
+        # rect = score^(1-r) * iou^r with a per-class rectifier
+        ious_all = jnp.concatenate(all_ious, axis=1)
+        rect = jnp.asarray(nms_cfg['IOU_RECTIFIER'], jnp.float32)
+        r = rect[jnp.clip(labels - 1, 0, rect.shape[0] - 1)]
+        scores = jnp.power(jnp.clip(scores, 1e-8), 1.0 - r) * \
+            jnp.power(jnp.clip(ious_all, 1e-8), r)
+
+    # sort by (rectified) score desc (scores of invalid → -1 so they sink)
     s_sort = jnp.where(valid, scores, -1.0)
     order = jnp.argsort(-s_sort, axis=1)
     boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
@@ -208,6 +263,22 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
 
     if not nms_on_device:
         return boxes, scores, labels, valid
+    if multi_class:
+        # per-class NMS with per-class thresholds (model_nms_utils.py:33-46);
+        # candidates stay globally sorted, so each class subset is sorted too
+        threshs = list(nms_cfg['NMS_THRESH'])
+        posts = nms_cfg['NMS_POST_MAXSIZE']
+        posts = (list(posts) if isinstance(posts, (list, tuple))
+                 else [int(posts)] * len(threshs))
+        keep = jnp.zeros_like(valid)
+        for c, (th, po) in enumerate(zip(threshs, posts)):
+            v_c = valid & (labels == c + 1)
+            k_c = jax.vmap(
+                lambda b, s, v, th=th, po=po: geo.nms_bev_mask(
+                    b, s, v, float(th), int(po))
+            )(boxes, jnp.where(v_c, scores, -1.0), v_c)
+            keep = keep | (k_c & v_c)
+        return boxes, scores, labels, valid & keep
     keep = jax.vmap(
         lambda b, s, v: geo.nms_bev_mask(
             b, s, v, float(nms_cfg['NMS_THRESH']), int(nms_cfg['NMS_POST_MAXSIZE'])

@@ -96,8 +96,10 @@ class _DetectorBase(nn.Module):
                 batch['points_prev'], batch['point_mask_prev'], train,
                 prev_needed=not skip_prev,
             )
-            vs_prv = VoxelSet(prv['voxel_features'], prv['voxel_coords'],
-                              prv['voxel_mask'], hw)
+            # prv is None on the streaming skip path (cached prev pyramid)
+            vs_prv = (VoxelSet(prv['voxel_features'], prv['voxel_coords'],
+                               prv['voxel_mask'], hw)
+                      if prv is not None else None)
         elif name == 'DynVFE':
             cur = DynVFE(self.spec, name='vfe', **kwargs)(
                 batch['points'], batch['point_mask'], train
@@ -291,7 +293,14 @@ def centerpoint_loss(cfg, outputs, batch):
         target_dicts.append(td)
     lw = head_cfg['LOSS_CONFIG']['LOSS_WEIGHTS']
     head_order = list(head_cfg['SEPARATE_HEAD_CFG']['HEAD_ORDER'])
-    return center_head_loss(outputs['pred_dicts'], target_dicts, head_order, lw)
+    # optional IoU head (reference center_head.py:97,260-277): active when a
+    # config declares 'iou' in SEPARATE_HEAD_CFG.HEAD_DICT
+    iou_cfg = None
+    if 'iou' in head_cfg['SEPARATE_HEAD_CFG']['HEAD_DICT']:
+        iou_cfg = {'voxel_size': spec.voxel_size, 'pc_range': spec.pc_range,
+                   'feature_map_stride': stride}
+    return center_head_loss(outputs['pred_dicts'], target_dicts, head_order,
+                            lw, iou_cfg=iou_cfg)
 
 
 def tmae_loss(cfg, outputs, batch):
@@ -332,10 +341,31 @@ def host_nms(cfg, boxes, scores, labels, valid):
     from ..ops.geometry_np import nms_bev
     from ..utils import native
     nms_cfg = cfg['MODEL']['DENSE_HEAD']['POST_PROCESSING']['NMS_CONFIG']
-    thresh = float(nms_cfg['NMS_THRESH'])
-    post = int(nms_cfg['NMS_POST_MAXSIZE'])
     boxes = np.asarray(boxes)
     valid = np.asarray(valid).copy()
+    if str(nms_cfg.get('NMS_TYPE', 'nms_gpu')) == 'multi_class_nms':
+        # per-class thresholds on already-rectified scores; candidates come
+        # score-sorted from decode (model_nms_utils.py:33-46)
+        threshs = list(nms_cfg['NMS_THRESH'])
+        posts = nms_cfg['NMS_POST_MAXSIZE']
+        posts = (list(posts) if isinstance(posts, (list, tuple))
+                 else [int(posts)] * len(threshs))
+        labels = np.asarray(labels)
+        scores_np = np.asarray(scores)
+        for b in range(boxes.shape[0]):
+            for c, (th, po) in enumerate(zip(threshs, posts)):
+                sel = np.nonzero(valid[b] & (labels[b] == c + 1))[0]
+                if sel.size == 0:
+                    continue
+                kept_idx = nms_bev(boxes[b, sel, :7].astype(np.float64),
+                                   scores_np[b, sel], float(th),
+                                   post_maxsize=int(po))
+                keep = np.zeros(sel.size, bool)
+                keep[kept_idx] = True
+                valid[b, sel] &= keep
+        return valid
+    thresh = float(nms_cfg['NMS_THRESH'])
+    post = int(nms_cfg['NMS_POST_MAXSIZE'])
     for b in range(boxes.shape[0]):
         n = int(valid[b].sum())
         if n == 0:

@@ -124,6 +124,9 @@ def assign_center_targets(gt_boxes: jnp.ndarray, gt_mask: jnp.ndarray,
         'target_boxes': tb,
         'inds': inds,
         'mask': valid,
+        # raw gt boxes per slot — the IoU-head regression target
+        # (center_head.py:160-165 ``iou_boxes``)
+        'iou_boxes': jnp.where(valid[..., None], gt_boxes[..., :7], 0.0),
     }
 
 

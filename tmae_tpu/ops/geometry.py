@@ -176,6 +176,26 @@ def boxes_iou3d(boxes_a, boxes_b):
     return inter / jnp.clip(vol_a + vol_b - inter, 1e-6)
 
 
+def boxes_iou3d_aligned(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray):
+    """Elementwise IoU3D over ALIGNED pairs: [..., 7] x [..., 7] → [...].
+
+    The diagonal of ``boxes_iou3d`` without the O(N²) pair matrix — used by the
+    CenterHead IoU-head loss (reference ``IoULossCenterNet``,
+    loss_utils.py:399-419, which takes torch.diagonal of the full matrix)."""
+    shp = boxes_a.shape[:-1]
+    a = boxes_a.reshape(-1, boxes_a.shape[-1])[:, :7]
+    b = boxes_b.reshape(-1, boxes_b.shape[-1])[:, :7]
+    inter_bev = _sh_intersection_area_flat(a, b)
+    amax, amin = a[:, 2] + a[:, 5] / 2, a[:, 2] - a[:, 5] / 2
+    bmax, bmin = b[:, 2] + b[:, 5] / 2, b[:, 2] - b[:, 5] / 2
+    inter_h = jnp.clip(jnp.minimum(amax, bmax) - jnp.maximum(amin, bmin), 0)
+    inter = inter_bev * inter_h
+    vol_a = a[:, 3] * a[:, 4] * a[:, 5]
+    vol_b = b[:, 3] * b[:, 4] * b[:, 5]
+    iou = inter / jnp.clip(vol_a + vol_b - inter, 1e-6)
+    return iou.reshape(shp)
+
+
 def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
                  thresh: float, post_maxsize: int) -> jnp.ndarray:
     """Greedy rotated-BEV NMS over a fixed box budget.

@@ -199,6 +199,39 @@ def circle_nms(centers_scores: np.ndarray, thresh: float,
     return keep
 
 
+def multi_class_agnostic_nms(box_scores: np.ndarray, box_ious: np.ndarray,
+                             box_labels: np.ndarray, box_preds: np.ndarray,
+                             iou_rectifier, nms_thresh, pre_maxsize=None,
+                             post_maxsize=None):
+    """IoU-rectified per-class NMS (reference ``model_nms_utils.
+    multi_class_agnostic_nms``, model_nms_utils.py:28-46): rectified score =
+    score^(1-r) * iou^r with per-class rectifier r, then per-class rotated NMS
+    with per-class thresholds. ``box_labels`` are 0-indexed class ids.
+    Returns (selected indices, rectified scores at those indices)."""
+    rect = np.asarray(iou_rectifier, np.float64)
+    r = rect[np.clip(box_labels, 0, rect.shape[0] - 1)]
+    rect_scores = np.power(np.clip(box_scores, 1e-12, None), 1.0 - r) * \
+        np.power(np.clip(box_ious, 1e-12, None), r)
+    threshs = list(nms_thresh)
+    pres = (list(pre_maxsize) if isinstance(pre_maxsize, (list, tuple))
+            else [pre_maxsize] * len(threshs))
+    posts = (list(post_maxsize) if isinstance(post_maxsize, (list, tuple))
+             else [post_maxsize] * len(threshs))
+    out = []
+    for c, (th, pre, po) in enumerate(zip(threshs, pres, posts)):
+        idx = np.nonzero(box_labels == c)[0]
+        if idx.size == 0:
+            continue
+        keep = nms_bev(box_preds[idx, :7], rect_scores[idx], float(th),
+                       pre_maxsize=pre, post_maxsize=po)
+        out.append(idx[keep])
+    if not out:
+        sel = np.zeros(0, np.int64)
+    else:
+        sel = np.concatenate(out)
+    return sel, rect_scores[sel]
+
+
 def multi_classes_nms(cls_scores: np.ndarray, boxes: np.ndarray, labels=None,
                       thresh: float = 0.5, score_thresh: float | None = None,
                       pre_maxsize: int | None = None,

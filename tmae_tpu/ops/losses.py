@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .geometry import boxes_iou3d
+from .geometry import boxes_iou3d_aligned
 
 
 def weighted_smooth_l1(pred, target, weights=None, beta: float = 1.0 / 9.0,
@@ -91,14 +91,10 @@ def corner_loss(pred_boxes, gt_boxes, beta: float = 1.0):
 def centernet_iou_loss(iou_pred, mask, pred_boxes, gt_boxes):
     """loss_utils.IoULossCenterNet: L1 between the predicted IoU channel and
     (2*IoU3D(pred, gt) - 1) at positive cells. iou_pred [B, M], mask [B, M],
-    boxes [B, M, 7]."""
-
-    def one(ip, m, pb, gb):
-        iou = jnp.diagonal(boxes_iou3d(pb, gb))
-        target = 2.0 * iou - 1.0
-        l1 = jnp.abs(ip - jax.lax.stop_gradient(target)) * m
-        return l1.sum(), m.sum()
-
-    sums, cnts = jax.vmap(one)(iou_pred, mask.astype(iou_pred.dtype),
-                               pred_boxes, gt_boxes)
-    return sums.sum() / jnp.maximum(cnts.sum(), 1e-4)
+    boxes [B, M, 7]. Uses the aligned elementwise IoU (the reference takes
+    torch.diagonal of the full pair matrix, loss_utils.py:414)."""
+    m = mask.astype(iou_pred.dtype)
+    iou = boxes_iou3d_aligned(pred_boxes, gt_boxes)
+    target = 2.0 * iou - 1.0
+    l1 = jnp.abs(iou_pred - jax.lax.stop_gradient(target)) * m
+    return l1.sum() / jnp.maximum(m.sum(), 1e-4)
