@@ -77,10 +77,17 @@ def make_eval_step(model, cfg):
             return b, top, lab, jnp.ones_like(top, bool)
 
     else:
+        from .trainer import collect_occ_overflow
+
         @jax.jit
         def eval_step(variables, batch):
-            out = model.apply(variables, batch, train=False)
-            return centerpoint_predict(cfg, out, nms_on_device=False)
+            # collect the sowed compaction-overflow counters: occupied windows
+            # beyond a cap silently degrade to identity, so eval surfaces the
+            # count instead of hiding it (VERDICT r3 #4)
+            out, mut = model.apply(variables, batch, train=False,
+                                   mutable=['intermediates'])
+            preds = centerpoint_predict(cfg, out, nms_on_device=False)
+            return preds + (collect_occ_overflow(mut['intermediates']),)
 
     return eval_step
 
@@ -101,13 +108,15 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
     model_inputs = ('points', 'point_mask', 'points_prev', 'point_mask_prev',
                     'voxels', 'voxel_num_points', 'voxel_coords_zyx',
                     'voxel_mask')
+    occ_overflow_total = 0
     for batch in loader:
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in model_inputs}
         t0 = time.perf_counter()
-        boxes, scores, labels, valid = jax.device_get(
-            eval_step(variables, dev_batch)
-        )
+        res = jax.device_get(eval_step(variables, dev_batch))
+        boxes, scores, labels, valid = res[:4]
+        if len(res) > 4:  # compaction-overflow counter (CenterPoint family)
+            occ_overflow_total += int(res[4])
         valid = host_nms(cfg, boxes, scores, labels, valid)
         infer_time += time.perf_counter() - t0
         n_samples += len(batch['frame_id'])
@@ -144,6 +153,11 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
         det_annos = det_annos[:len(dataset)]
     sec_per_sample = infer_time / max(n_samples, 1)
     logger.info('eval: %.4f sec/sample (%d samples)', sec_per_sample, n_samples)
+    if occ_overflow_total > 0:
+        logger.warning(
+            'eval: occ_overflow=%d occupied windows exceeded the compaction '
+            'caps and ran as identity — raise RUNTIME.OCC_*_CAPS '
+            '(accuracy is silently degraded otherwise)', occ_overflow_total)
     for t in recall_threshs:
         logger.info('recall_rcnn_%.1f: %.4f', t,
                     recall[t] / max(total_gt, 1))
@@ -154,4 +168,5 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
             pickle.dump(det_annos, f)
     ap_str, ap_dict = dataset.evaluation(det_annos, class_names)
     ap_dict['sec_per_sample'] = sec_per_sample
+    ap_dict['occ_overflow'] = occ_overflow_total
     return ap_str, ap_dict

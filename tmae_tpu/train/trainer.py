@@ -41,6 +41,17 @@ def create_train_state(variables, tx) -> TrainState:
     )
 
 
+def collect_occ_overflow(intermediates) -> jnp.ndarray:
+    """Sum every sowed 'occ_overflow' counter (models/sst.py, models/wca.py)
+    across stages; returns a scalar (0 when no stage uses compaction)."""
+    total = jnp.zeros((), jnp.int32)
+    flat = jax.tree_util.tree_flatten_with_path(intermediates)[0]
+    for path, leaf in flat:
+        if any(getattr(p, 'key', None) == 'occ_overflow' for p in path):
+            total = total + jnp.asarray(leaf, jnp.int32).sum()
+    return total
+
+
 def make_train_step(model, loss_fn: Callable, tx,
                     rng_names: tuple = ()) -> Callable:
     """loss_fn(outputs, batch) → (loss, tb_dict).
@@ -58,10 +69,19 @@ def make_train_step(model, loss_fn: Callable, tx,
         def compute(params):
             out, mut = model.apply(
                 {'params': params, 'batch_stats': state.batch_stats},
-                batch, train=True, mutable=['batch_stats'],
+                batch, train=True, mutable=['batch_stats', 'intermediates'],
                 rngs=rngs,
             )
             loss, tb = loss_fn(out, batch)
+            # runtime observability for the compaction caps (VERDICT r3 #4):
+            # every SSTBlock/WCABlock sows 'occ_overflow' (occupied windows
+            # beyond its cap that degraded to identity); surface the total so
+            # cap overflow is visible in metrics.jsonl instead of silently
+            # costing accuracy (reference drop accounting:
+            # spt_backbone.py:62-70)
+            tb = dict(tb)
+            tb['occ_overflow'] = collect_occ_overflow(
+                mut.get('intermediates', {}))
             return loss, (tb, mut['batch_stats'])
 
         (loss, (tb, new_stats)), grads = jax.value_and_grad(
