@@ -208,9 +208,15 @@ class SiamWCA(nn.Module):
 
         g_cur = DenseGrid(x=vs_cur.to_dense().astype(CARRIER_DTYPE),
                           occ=vs_cur.occupancy())
-        g_prv = (DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
-                           occ=vs_prv.occupancy())
-                 if cached_prev is None else g_cur)
+        if cached_prev is None:
+            assert vs_prv is not None, (
+                'SiamWCA needs the prev-frame voxels unless cached_prev '
+                '(streaming serving) supplies the prev pyramid')
+            g_prv = DenseGrid(x=vs_prv.to_dense().astype(CARRIER_DTYPE),
+                              occ=vs_prv.occupancy())
+        else:
+            # placeholder only: SiamWCAEncoder substitutes hid_prv per stage
+            g_prv = g_cur
         fused, hid_cur = SiamWCAEncoder(
             self.model_cfg, self.max_voxels_per_level,
             occ_window_caps=self.occ_window_caps,

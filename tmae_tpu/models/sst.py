@@ -41,6 +41,14 @@ from .layers import (
 
 COMPUTE_DTYPE = jnp.bfloat16
 
+# Debug escape hatch: disable the combined-bucket serving path (one gather +
+# in-place row kernels + one scatter per layer). Read ONCE at import so a
+# process cannot silently trace two divergent graphs depending on when the
+# env var was set (ADVICE r3).
+import os as _os  # noqa: E402
+
+_NO_COMBINED = bool(_os.environ.get('TMAE_NO_COMBINED'))
+
 
 @flax.struct.dataclass
 class VoxelSet:
@@ -342,10 +350,12 @@ class DenseEncoderLayer(nn.Module):
                     )
                 return scatter_windows_into_padded(xw_all, bc.cat_idx, xp, w)
 
-            import os as _os
-            no_combined = bool(_os.environ.get('TMAE_NO_COMBINED'))
             if isinstance(compact, BucketedCompact):
-                if (self.serving and use_pallas and not no_combined
+                # NB: run_combined is FORWARD-ONLY (no custom_vjp; aliased
+                # pallas_call). Differentiating an eval-mode apply (feature
+                # attribution, distillation) must set TMAE_NO_COMBINED=1 or
+                # use train=True — otherwise Pallas raises a transpose error.
+                if (self.serving and use_pallas and not _NO_COMBINED
                         and compact.cat_idx is not None):
                     xp = run_combined(compact, xp)
                 else:

@@ -133,9 +133,11 @@ class TemporalDynVFE(nn.Module):
                  train: bool, prev_needed: bool = True):
         if not prev_needed:
             # streaming serving: the prev pyramid comes from the cache, so
-            # the prev-frame VFE is dead work — run cur only
+            # the prev-frame VFE is dead work — run cur only. Returns None
+            # for the prev slot so any accidental consumer fails loudly
+            # instead of silently reading aliased cur features.
             cur = self.encoder(points, point_mask, train)
-            return cur, cur
+            return cur, None
         # NB: batching the two frames into one concatenated encoder pass was
         # measured SLOWER on TPU (10.4 ms vs 4.5 ms for the two sequential
         # calls at P=65536 — the segment/scatter ops scale superlinearly in

@@ -992,8 +992,11 @@ def _pallas_forward_sel(xw, kvw, sel_q, sel_k, qmask, kmask, pos, *params,
     N, T64, C = xw.shape
     S = sel_q.shape[-1]
     F = f1w.shape[1]
-    # S=48 at 32 windows exceeds the 16M scoped-VMEM budget
-    TW = TILE_WINDOWS if S <= 16 else min(TILE_WINDOWS, 16)
+    # TW is pinned to TILE_WINDOWS=16: S=48 at TW=32 would exceed the 16M
+    # scoped-VMEM budget, and occ_compact.round_cap() pads caps to multiples
+    # of 16 to match this tile. Revisit both together if TILE_WINDOWS moves.
+    assert TILE_WINDOWS == 16, 'retune sel-kernel tiling with round_cap()'
+    TW = TILE_WINDOWS
     padded = ((N + TW - 1) // TW) * TW
     if padded != N:
         padz = lambda a: jnp.pad(a, ((0, padded - N),) + ((0, 0),) * (a.ndim - 1))
@@ -1689,7 +1692,9 @@ def encoder_layer_rows_sel(xw_all, kv_all, sel_q, sel_k, qmask, kmask, pos,
     ``xw_all``, updated in place. ``sel_q``/``qmask`` [B, cap, S]."""
     B, total, T, C = xw_all.shape
     cap, S = qmask.shape[1], qmask.shape[2]
-    TW = TILE_WINDOWS if S <= 16 else min(TILE_WINDOWS, 16)
+    # pinned to 16 — see _pallas_forward_sel for the VMEM/round_cap coupling
+    assert TILE_WINDOWS == 16, 'retune sel-kernel tiling with round_cap()'
+    TW = TILE_WINDOWS
     assert row_lo % TW == 0 and cap % TW == 0 and row_lo + cap <= total
     OFF = row_lo // TW
     dt = xw_all.dtype
