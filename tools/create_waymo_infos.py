@@ -5,9 +5,11 @@ Reference: ``pcdet/datasets/waymo/waymo_dataset.py`` (TFRecord → per-sequence
 info pkl + npy point clouds + gt database) and
 ``waymo_temporal/waymo_utils.py`` (frame decoding). Two layers:
 
-* ``decode_tfrecord_sequence`` — the only part that needs ``tensorflow`` +
-  ``waymo_open_dataset`` (not in this image; a clear error tells the user to
-  run this step where they are installed).
+* ``decode_tfrecord_sequence`` — decodes raw TFRecords. Default backend is
+  the NATIVE pure-numpy decoder (``tmae_tpu/datasets/waymo_decode.py``: own
+  TFRecord reader, Frame wire-format codec, range-image conversion — no
+  tensorflow needed); ``backend='wod'`` keeps the original
+  tensorflow+waymo_open_dataset path for cross-checking where installed.
 * ``build_sequence_artifacts`` / ``create_gt_database`` — pure numpy, operate
   on decoded frame dicts and write the exact layout our
   ``WaymoTemporalDataset`` reads (``<data>/<seq>/<seq>.pkl`` +
@@ -49,9 +51,16 @@ def nlz_from_range_images(range_images, laser_calibrations):
     return np.concatenate(parts).astype(np.float32)
 
 
-def decode_tfrecord_sequence(tfrecord_path):
-    """TFRecord → list of decoded frame dicts. Requires tensorflow +
-    waymo_open_dataset (run on a machine where they are installed)."""
+def decode_tfrecord_sequence(tfrecord_path, backend: str = 'native'):
+    """TFRecord → list of decoded frame dicts.
+
+    ``backend='native'`` (default): the dependency-free decoder
+    (waymo_decode.decode_tfrecord — documented field-number caveat there).
+    ``backend='wod'``: the original tensorflow + waymo_open_dataset path,
+    kept for byte-level cross-checking in environments that have them."""
+    if backend == 'native':
+        from tmae_tpu.datasets.waymo_decode import decode_tfrecord
+        return decode_tfrecord(tfrecord_path)
     try:
         import tensorflow as tf
         from waymo_open_dataset import dataset_pb2
