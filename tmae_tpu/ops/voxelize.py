@@ -154,13 +154,18 @@ def segment_sum(feat: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
 
 
 def segment_mean(feat, seg, num_segments, valid=None):
+    """Per-segment mean. The count rides as an extra channel of the SAME
+    scatter-add: TPU scatter cost is row-count-bound, not width-bound
+    (measured 2.39 ms → ~1.2 ms at P=131k for the 4-channel VFE mean,
+    tools/profile_vfe.py), so one fused scatter beats two."""
     if valid is not None:
         feat = jnp.where(valid[..., None], feat, 0.0)
         ones = valid.astype(feat.dtype)
     else:
         ones = jnp.ones(seg.shape, feat.dtype)
-    total = segment_sum(feat, seg, num_segments)
-    cnt = segment_sum(ones[..., None], seg, num_segments)
+    both = jnp.concatenate([feat, ones[..., None]], axis=-1)
+    acc = segment_sum(both, seg, num_segments)
+    total, cnt = acc[..., :-1], acc[..., -1:]
     return total / jnp.maximum(cnt, 1.0)
 
 
