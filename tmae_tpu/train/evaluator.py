@@ -87,7 +87,8 @@ def make_eval_step(model, cfg):
             out, mut = model.apply(variables, batch, train=False,
                                    mutable=['intermediates'])
             preds = centerpoint_predict(cfg, out, nms_on_device=False)
-            return preds + (collect_occ_overflow(mut['intermediates']),)
+            return preds + (
+                collect_occ_overflow(mut.get('intermediates', {})),)
 
     return eval_step
 
