@@ -95,9 +95,14 @@ def child():
         training=False, runtime_cfg=cfg.RUNTIME, seed=0,
     )
     batch = next(iter(loader))
+    MODEL_INPUTS = (
+        'points', 'point_mask', 'points_prev', 'point_mask_prev',
+        # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE)
+        'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
+        'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv',
+    )
     dev_batch = {
-        k: jnp.asarray(v) for k, v in batch.items()
-        if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')
+        k: jnp.asarray(v) for k, v in batch.items() if k in MODEL_INPUTS
     }
     note('data ready')
 
@@ -120,10 +125,15 @@ def child():
     tb = next(iter(tiny_loader))
     tiny_batch = {k: jnp.asarray(v) for k, v in tb.items() if k in dev_batch}
     tiny_model = build_detector(tiny)
-    variables = jax.jit(
-        lambda rng, b: tiny_model.init(rng, b, train=False)
-    )(jax.random.PRNGKey(0), tiny_batch)
-    jax.block_until_ready(variables)
+    from tmae_tpu.ops import occ_compact as _oc0
+    _oc0._NO_MULTI = True  # cheap-compile kernels for the throwaway init
+    try:
+        variables = jax.jit(
+            lambda rng, b: tiny_model.init(rng, b, train=False)
+        )(jax.random.PRNGKey(0), tiny_batch)
+        jax.block_until_ready(variables)
+    finally:
+        _oc0._NO_MULTI = False
     note('params ready (tiny-grid init)')
 
     # BENCH_NMS=device keeps rotated NMS on device. Host is the default:
@@ -188,13 +198,22 @@ def child():
     # --- stage A: round-2-style unbucketed compact graph (fast compile) ---
     stages = os.environ.get('BENCH_STAGES', 'A,B').split(',')
     if 'A' in stages:
+        from tmae_tpu.ops import occ_compact as _oc
+
         cfg_a = load_cfg()
         cfg_a.RUNTIME.OCC_WINDOW_CAPS = [1024, 384, 128]
         cfg_a.RUNTIME.OCC_SMALL_CAPS = [0, 0, 0]
         cfg_a.RUNTIME.OCC_MID_CAPS = [0, 0, 0]
         _, infer_a = make_infer(cfg_a)
-        full = infer_a(variables, dev_batch)
-        jax.block_until_ready(full)
+        # stage A is the compile-time floor: trace it with the BlockSpec
+        # gather/scatter (the chunked-DMA kernels are ~2x slower to build;
+        # stage B gets them for the final number)
+        _oc._NO_MULTI = True
+        try:
+            full = infer_a(variables, dev_batch)
+            jax.block_until_ready(full)
+        finally:
+            _oc._NO_MULTI = False
         if not nms_device:
             host_nms(cfg, *jax.device_get(full))  # warm the host-NMS library
         note('stage A (unbucketed) compiled + warm')

@@ -85,3 +85,52 @@ def test_downsample_coords_matches_spconv_rule():
     new_c, new_m = downsample_coords(coords, mask, (32, 32), 8)
     got = {tuple(c) for c, m in zip(np.asarray(new_c[0]), np.asarray(new_m[0])) if m}
     assert got == {(2, 2), (3, 2)}
+
+
+def test_voxelize_host_matches_device():
+    """voxelize_host (the RUNTIME.HOST_VOXELIZE input-pipeline path) must be
+    bit-identical to the device voxelize: same ascending-cell-id slots, same
+    cap behavior, same point validity."""
+    from tmae_tpu.ops.voxelize import voxelize_host
+
+    rng = np.random.RandomState(0)
+    B, P = 2, 4000
+    pts = rng.uniform(-6, 6, (B, P, 4)).astype(np.float32)  # some out of range
+    mask = rng.rand(B, P) < 0.9
+    dev = voxelize(jnp.asarray(pts), jnp.asarray(mask), SPEC)
+    host = voxelize_host(pts, mask, SPEC)
+    for k in ('voxel_coords', 'voxel_mask', 'point_voxel', 'point_valid',
+              'num_voxels'):
+        np.testing.assert_array_equal(np.asarray(dev[k]), host[k], err_msg=k)
+
+
+def test_host_voxelize_model_equivalence():
+    """A CenterPoint forward fed the host-precomputed pillar map equals the
+    on-device voxelize path exactly."""
+    import jax
+
+    from tests.tiny_cfg import synth_batch, tiny_cfg
+    from tmae_tpu.models.detectors import build_detector, make_voxel_spec
+
+    cfg = tiny_cfg(mae=False)
+    model = build_detector(cfg)
+    rng = np.random.RandomState(1)
+    raw = synth_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out_dev = model.apply(variables, batch, train=False)
+
+    from tmae_tpu.ops.voxelize import voxelize_host
+    spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
+    hv_c = voxelize_host(raw['points'], raw['point_mask'], spec)
+    hv_p = voxelize_host(raw['points_prev'], raw['point_mask_prev'], spec)
+    batch2 = dict(batch)
+    for which, hv in (('cur', hv_c), ('prv', hv_p)):
+        batch2[f'pv_{which}'] = jnp.asarray(hv['point_voxel'])
+        batch2[f'pvalid_{which}'] = jnp.asarray(hv['point_valid'])
+        batch2[f'vcoords_{which}'] = jnp.asarray(hv['voxel_coords'])
+        batch2[f'vmask_{which}'] = jnp.asarray(hv['voxel_mask'])
+    out_host = model.apply(variables, batch2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_dev['pred_dicts'][0]['hm']),
+        np.asarray(out_host['pred_dicts'][0]['hm']), atol=1e-6)

@@ -85,10 +85,34 @@ class DatasetTemplate:
 
     def collate_batch(self, samples):
         mv = self.runtime_cfg.get('MAX_VOXELS')
-        return collate_static(
+        out = collate_static(
             samples, self.max_points, self.max_gt,
             max_voxels=int(mv[0]) if mv else None,
         )
+        if self.runtime_cfg.get('HOST_VOXELIZE') and 'points' in out:
+            # precompute the point→pillar map in the prefetch thread
+            # (ops.voxelize.voxelize_host ≡ the device voxelize; saves
+            # ~2.1 ms/frame of device time, overlapped with device compute)
+            from ..ops.voxelize import VoxelSpec, voxelize_host
+            proc = [p for p in self.dataset_cfg.get('DATA_PROCESSOR', [])
+                    if p['NAME'] in ('calculate_grid_size',
+                                     'transform_points_to_voxels')]
+            voxel_size = (tuple(proc[-1]['VOXEL_SIZE']) if proc
+                          else (0.32, 0.32, 8.0))
+            spec = VoxelSpec(
+                pc_range=tuple(self.pc_range), voxel_size=voxel_size,
+                max_points=self.max_points, max_voxels=int(mv[0]),
+            )
+            for which, pk, mk in (('cur', 'points', 'point_mask'),
+                                  ('prv', 'points_prev', 'point_mask_prev')):
+                if pk not in out:
+                    continue
+                hv = voxelize_host(out[pk], out[mk], spec)
+                out[f'pv_{which}'] = hv['point_voxel']
+                out[f'pvalid_{which}'] = hv['point_valid']
+                out[f'vcoords_{which}'] = hv['voxel_coords']
+                out[f'vmask_{which}'] = hv['voxel_mask']
+        return out
 
     def __len__(self):  # pragma: no cover - abstract
         raise NotImplementedError

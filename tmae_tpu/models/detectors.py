@@ -91,10 +91,24 @@ class _DetectorBase(nn.Module):
             compute_dtype=str(self.vfe_compute),
         )
         if name == 'TemporalDynVFE':
+            # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE): the
+            # input pipeline ships the point→pillar map, skipping the
+            # ~2.1 ms/frame device voxelize
+            def hv(which):
+                if f'pv_{which}' not in batch:
+                    return None
+                return {
+                    'point_voxel': batch[f'pv_{which}'],
+                    'point_valid': batch[f'pvalid_{which}'],
+                    'voxel_coords': batch[f'vcoords_{which}'],
+                    'voxel_mask': batch[f'vmask_{which}'],
+                }
+
             cur, prv = TemporalDynVFE(self.spec, name='vfe', **kwargs)(
                 batch['points'], batch['point_mask'],
                 batch['points_prev'], batch['point_mask_prev'], train,
                 prev_needed=not skip_prev,
+                hostvox_cur=hv('cur'), hostvox_prv=hv('prv'),
             )
             # prv is None on the streaming skip path (cached prev pyramid)
             vs_prv = (VoxelSet(prv['voxel_features'], prv['voxel_coords'],

@@ -37,11 +37,16 @@ class DynPillarEncoder(nn.Module):
     compute_dtype: str = 'f32'
 
     @nn.compact
-    def __call__(self, points, point_mask, train: bool):
+    def __call__(self, points, point_mask, train: bool, hostvox=None):
         """points [B, P, 4] (x, y, z, intensity) → dict with voxel features/coords/
-        mask and the point→voxel map needed by the MAE target assigner."""
+        mask and the point→voxel map needed by the MAE target assigner.
+
+        ``hostvox``: optional precomputed voxelization (ops.voxelize.
+        voxelize_host, shipped by the input pipeline under
+        RUNTIME.HOST_VOXELIZE) — skips the on-device voxelize pass."""
         spec = self.spec
-        vox = voxelize(points, point_mask, spec)
+        vox = hostvox if hostvox is not None else voxelize(
+            points, point_mask, spec)
         V = spec.max_voxels
         pv = vox['point_voxel']
         pvalid = vox['point_valid']
@@ -130,20 +135,22 @@ class TemporalDynVFE(nn.Module):
         )
 
     def __call__(self, points, point_mask, points_prev, point_mask_prev,
-                 train: bool, prev_needed: bool = True):
+                 train: bool, prev_needed: bool = True,
+                 hostvox_cur=None, hostvox_prv=None):
         if not prev_needed:
             # streaming serving: the prev pyramid comes from the cache, so
             # the prev-frame VFE is dead work — run cur only. Returns None
             # for the prev slot so any accidental consumer fails loudly
             # instead of silently reading aliased cur features.
-            cur = self.encoder(points, point_mask, train)
+            cur = self.encoder(points, point_mask, train, hostvox=hostvox_cur)
             return cur, None
         # NB: batching the two frames into one concatenated encoder pass was
         # measured SLOWER on TPU (10.4 ms vs 4.5 ms for the two sequential
         # calls at P=65536 — the segment/scatter ops scale superlinearly in
         # batch), so the frames run per-call. See tools/profile_stages.py.
-        cur = self.encoder(points, point_mask, train)
-        prv = self.encoder(points_prev, point_mask_prev, train)
+        cur = self.encoder(points, point_mask, train, hostvox=hostvox_cur)
+        prv = self.encoder(points_prev, point_mask_prev, train,
+                           hostvox=hostvox_prv)
         return cur, prv
 
     @property

@@ -42,6 +42,14 @@ import os as _os
 
 _PLAN_ARGSORT = bool(_os.environ.get('TMAE_PLAN_ARGSORT'))
 
+# Chunked manual-DMA gather/scatter (default on): the one-window-per-
+# grid-step BlockSpec path costs ~0.38 us/step of grid overhead — 1.45 ms
+# per encoder layer at production caps (tools/profile_wca_split.py) for only
+# ~60 MB of traffic. The chunked path copies _MULTI windows per grid step
+# with statically unrolled async DMAs (measured 1.79 → 1.20 ms per
+# gather+scatter roundtrip). TMAE_NO_MULTI_GATHER=1 restores the old path.
+_NO_MULTI = bool(_os.environ.get('TMAE_NO_MULTI_GATHER'))
+
 
 def set_interpret(flag: bool):
     global _INTERPRET
@@ -265,7 +273,11 @@ def gather_windows(xg, idx, grid_hw, window: int, shift: bool):
     """Gather the windows named by ``idx`` from a dense grid:
     [B, H, W, C] → [B, cap, w*w, C]."""
     if _use_pallas():
-        return _gather_pallas(_pad_grid(xg, window, shift), idx, window)
+        xp = _pad_grid(xg, window, shift)
+        if (not _NO_MULTI and not _INTERPRET
+                and idx.shape[1] % _MULTI == 0):
+            return _gather_pallas_multi(xp, idx, window)
+        return _gather_pallas(xp, idx, window)
     return _gather_ref(xg, idx, grid_hw, window, shift)
 
 
@@ -472,10 +484,105 @@ def repad_grid(xp, window: int, from_shift: bool, to_shift: bool):
         xp, zero, ((0, 0, 0), (d, -d, 0), (d, -d, 0), (0, 0, 0)))
 
 
+_MULTI = 16  # windows copied per grid step (caps are round_cap'd to 16)
+
+
+def _gather_multi_kernel(wy_ref, wx_ref, x_ref, o_ref, sems, *, w, multi):
+    """Copy `multi` (w, w, C) windows HBM→HBM per grid step via async DMA —
+    amortizes the ~0.4 us/step grid overhead of the one-window BlockSpec
+    path ~16x and keeps `multi` copies in flight. (A single-step streaming
+    variant with fori_loop-driven rolling semaphores measured the same
+    1.17 ms roundtrip but compiled pathologically slowly — minutes per cap
+    variant — so the statically unrolled chunked form is the keeper.)"""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    base = j * multi
+    dmas = []
+    for k in range(multi):
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        dma = pltpu.make_async_copy(
+            x_ref.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :],
+            o_ref.at[b, base + k],
+            sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+
+def _gather_pallas_multi(xp, idx, window):
+    B, Hp2, Wp, C = xp.shape
+    cap = idx.shape[1]
+    w = window
+    wy, wx = idx[..., 0], idx[..., 1]
+    out = pl.pallas_call(
+        functools.partial(_gather_multi_kernel, w=w, multi=_MULTI),
+        out_shape=jax.ShapeDtypeStruct((B, cap, w, w, C), xp.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, cap // _MULTI),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_MULTI,))],
+        ),
+        interpret=_INTERPRET,
+    )(wy, wx, xp)
+    return out.reshape(B, cap, w * w, C)
+
+
+def _scatter_multi_kernel(wy_ref, wx_ref, init_ref, xw_ref, o_ref, sems, *,
+                          w, multi):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    base = j * multi
+    dmas = []
+    for k in range(multi):
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        dma = pltpu.make_async_copy(
+            xw_ref.at[b, base + k],
+            o_ref.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :],
+            sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+
+def _scatter_into_pallas_multi(xw, idx, init_p, window):
+    """Aliased scatter-overwrite, `_MULTI` windows per grid step. Dummy slots
+    all target the same padded dummy window; concurrent DMA writes there race
+    harmlessly (the content is never read)."""
+    B, cap, T, C = xw.shape
+    w = window
+    wy, wx = idx[..., 0], idx[..., 1]
+    out = pl.pallas_call(
+        functools.partial(_scatter_multi_kernel, w=w, multi=_MULTI),
+        out_shape=jax.ShapeDtypeStruct(init_p.shape, xw.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, cap // _MULTI),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_MULTI,))],
+        ),
+        input_output_aliases={2: 0},
+        interpret=_INTERPRET,
+    )(wy, wx, init_p.astype(xw.dtype), xw.reshape(B, cap, w, w, C))
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_windows_padded(xp, idx, window: int):
     """gather_windows against an already-padded grid [B, Hp + w, Wp, C]."""
     if _use_pallas():
+        if (not _NO_MULTI and not _INTERPRET
+                and idx.shape[1] % _MULTI == 0):
+            return _gather_pallas_multi(xp, idx, window)
         return _gather_pallas(xp, idx, window)
     return _gather_ref_padded(xp, idx, window)
 
@@ -513,6 +620,9 @@ def scatter_windows_into_padded(xw, idx, init_p, window: int):
     """scatter-overwrite against an already-padded init [B, Hp + w, Wp, C];
     init is aliased into the output on the Pallas path."""
     if _use_pallas():
+        if (not _NO_MULTI and not _INTERPRET
+                and idx.shape[1] % _MULTI == 0):
+            return _scatter_into_pallas_multi(xw, idx, init_p, window)
         B, cap, T, C = xw.shape
         wy, wx = idx[..., 0], idx[..., 1]
         out_spec = pl.BlockSpec(

@@ -143,6 +143,58 @@ def voxelize(points: jnp.ndarray, point_mask: jnp.ndarray, spec: VoxelSpec):
     }
 
 
+def voxelize_host(points: np.ndarray, point_mask: np.ndarray,
+                  spec: VoxelSpec) -> dict:
+    """Numpy twin of :func:`voxelize` for the host input pipeline
+    (RUNTIME.HOST_VOXELIZE): identical slot assignment (ascending cell id,
+    same cap behavior), so the device VFE can skip its ~2.1 ms/frame
+    voxelize pass — the mapping depends only on the points, and the host
+    computes it in the prefetch thread where it overlaps device compute.
+
+    Returns the same dict as :func:`voxelize` with numpy arrays."""
+    B, P, _ = points.shape
+    V = spec.max_voxels
+    nx, ny, _ = spec.grid_size
+    rng = np.asarray(spec.pc_range, points.dtype)
+    vs = np.asarray(spec.voxel_size, points.dtype)
+    grid = np.asarray([nx, ny, spec.grid_size[2]], np.int64)
+    coords = np.floor((points[..., :3] - rng[0:3]) / vs).astype(np.int64)
+    in_range = np.all((coords >= 0) & (coords < grid), axis=-1)
+    valid = in_range & point_mask
+    sentinel = nx * ny
+    ids = np.where(valid, coords[..., 1] * nx + coords[..., 0], sentinel)
+
+    voxel_coords = np.zeros((B, V, 2), np.int32)
+    voxel_mask = np.zeros((B, V), bool)
+    point_slot = np.full((B, P), V, np.int32)
+    point_valid = np.zeros((B, P), bool)
+    counts = np.zeros((B,), np.int32)
+    for b in range(B):
+        occ = np.zeros(sentinel + 1, bool)
+        occ[ids[b]] = True
+        occ = occ[:sentinel]
+        prefix = np.cumsum(occ)
+        n = int(min(prefix[-1], V))
+        slot_of = prefix - 1  # ascending-cell-id slot (valid where occ)
+        cells = np.nonzero(occ)[0][:V]
+        voxel_coords[b, :n, 0] = cells // nx
+        voxel_coords[b, :n, 1] = cells % nx
+        voxel_mask[b, :n] = True
+        safe = np.minimum(ids[b], sentinel - 1)
+        ps = slot_of[safe]
+        ok = valid[b] & (ps < V) & (ps >= 0)
+        point_slot[b] = np.where(ok, ps, V).astype(np.int32)
+        point_valid[b] = ok
+        counts[b] = n
+    return {
+        'voxel_coords': voxel_coords,
+        'voxel_mask': voxel_mask,
+        'point_voxel': point_slot,
+        'point_valid': point_valid,
+        'num_voxels': counts,
+    }
+
+
 def segment_sum(feat: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     """Batched segment sum: feat [B, P, C], seg [B, P] (segment or num_segments for
     dropped) → [B, num_segments, C]. OOB segments are dropped."""

@@ -108,7 +108,10 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
     total_gt = 0
     model_inputs = ('points', 'point_mask', 'points_prev', 'point_mask_prev',
                     'voxels', 'voxel_num_points', 'voxel_coords_zyx',
-                    'voxel_mask')
+                    'voxel_mask',
+                    # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE)
+                    'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
+                    'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv')
     occ_overflow_total = 0
     for batch in loader:
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
