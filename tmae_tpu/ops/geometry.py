@@ -197,32 +197,58 @@ def boxes_iou3d_aligned(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray):
 
 
 def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-                 thresh: float, post_maxsize: int) -> jnp.ndarray:
+                 thresh: float, post_maxsize: int,
+                 block: int = 16) -> jnp.ndarray:
     """Greedy rotated-BEV NMS over a fixed box budget.
 
     boxes [K, 7] must be sorted by descending score with ``valid`` marking real
     entries (the decode path provides exactly this). Returns keep mask [K] with at
     most ``post_maxsize`` True entries. Matches ``nms_gpu`` + post_max slicing in
     ``model_nms_utils.class_agnostic_nms`` (model_nms_utils.py:6-25).
-    """
+
+    Blocked early-exit formulation (the reference kernel's 64-box tiling idea,
+    iou3d_nms_kernel.cu): the rotated-IoU rows are computed per ``block`` of
+    candidates INSIDE a ``while_loop`` that stops once the valid candidates
+    are exhausted — both the IoU work and the sequential scan scale with the
+    real candidate count instead of the static K (a trained model at
+    SCORE_THRESH 0.1 passes far fewer than K=500 candidates)."""
     K = boxes.shape[0]
-    iou = boxes_iou_bev(boxes, boxes)  # [K, K]
-    sup_from_earlier = iou > thresh
+    pad = (-K) % block
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    Kp = K + pad
+    n = jnp.sum(valid.astype(jnp.int32))
 
-    def body(i, state):
-        alive, kept = state
-        is_kept = alive[i] & valid[i]
-        # kept box suppresses everything it overlaps (incl. itself; i is never
-        # revisited so that is harmless)
-        alive = alive & ~(sup_from_earlier[i] & is_kept)
-        kept = kept.at[i].set(is_kept)
-        return alive, kept
+    def cond(st):
+        blk, alive, kept = st
+        return blk * block < n
 
-    alive0 = jnp.ones((K,), bool)
-    # unroll: the body is a handful of vector ops on [K] lanes, so per-step
-    # loop overhead dominates; unrolling amortizes it ~8x
-    _, kept = jax.lax.fori_loop(0, K, body, (alive0, jnp.zeros((K,), bool)),
-                                unroll=8)
+    def body(st):
+        blk, alive, kept = st
+        start = blk * block
+        bb = jax.lax.dynamic_slice_in_dim(boxes, start, block, 0)
+        sup = boxes_iou_bev(bb, boxes) > thresh  # [block, Kp]
+
+        def row(i, st2):
+            alive, kept = st2
+            idx = start + i
+            is_kept = alive[idx] & valid[idx]
+            # kept box suppresses everything it overlaps (incl. itself; idx
+            # is never revisited so that is harmless)
+            alive = alive & ~(sup[i] & is_kept)
+            kept = kept.at[idx].set(is_kept)
+            return alive, kept
+
+        alive, kept = jax.lax.fori_loop(0, block, row, (alive, kept),
+                                        unroll=block)
+        return blk + 1, alive, kept
+
+    _, _, kept = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.ones((Kp,), bool), jnp.zeros((Kp,), bool)),
+    )
+    kept = kept[:K]
     # cap to post_maxsize highest-score survivors
     rank = jnp.cumsum(kept.astype(jnp.int32)) - 1
     return kept & (rank < post_maxsize)
