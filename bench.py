@@ -100,7 +100,10 @@ def child():
         # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE)
         'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
         'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv',
+        'vmean_cur', 'vends_cur', 'vmean_prv', 'vends_prv',
     )
+    if os.environ.get('BENCH_NO_SORTED_VFE'):  # A/B: drop the sorted-VFE extras
+        MODEL_INPUTS = MODEL_INPUTS[:-4]
     dev_batch = {
         k: jnp.asarray(v) for k, v in batch.items() if k in MODEL_INPUTS
     }

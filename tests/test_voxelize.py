@@ -134,3 +134,49 @@ def test_host_voxelize_model_equivalence():
     np.testing.assert_allclose(
         np.asarray(out_dev['pred_dicts'][0]['hm']),
         np.asarray(out_host['pred_dicts'][0]['hm']), atol=1e-6)
+
+
+def test_host_voxelize_sorted_model_equivalence():
+    """The HOST_VOXELIZE_SORT path (points permuted by pillar slot, host-
+    computed pillar means + segment ends) matches the on-device voxelize
+    path up to the f64-vs-f32 mean accumulation order."""
+    import jax
+
+    from tests.tiny_cfg import synth_batch, tiny_cfg
+    from tmae_tpu.models.detectors import build_detector, make_voxel_spec
+    from tmae_tpu.ops.voxelize import voxelize_host
+
+    cfg = tiny_cfg(mae=False)
+    model = build_detector(cfg)
+    rng = np.random.RandomState(1)
+    raw = synth_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out_dev = model.apply(variables, batch, train=False)
+
+    spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
+    batch2 = dict(batch)
+    for which, pk, mk in (('cur', 'points', 'point_mask'),
+                          ('prv', 'points_prev', 'point_mask_prev')):
+        hv = voxelize_host(raw[pk], raw[mk], spec, sort_points=True)
+        # sanity: per-slot mean matches a direct recomputation
+        for b in range(raw[pk].shape[0]):
+            pv, ok = hv['point_voxel'][b], hv['point_valid'][b]
+            for v in range(int(hv['num_voxels'][b])):
+                sel = ok & (pv == v)
+                np.testing.assert_allclose(
+                    hv['voxel_mean_xyz'][b, v],
+                    hv['points'][b][sel, :3].mean(axis=0), rtol=1e-5)
+                assert int(hv['seg_ends'][b, v]) == int(np.flatnonzero(sel)[-1])
+        batch2[pk] = jnp.asarray(hv['points'])
+        batch2[mk] = jnp.asarray(hv['point_mask'])
+        batch2[f'pv_{which}'] = jnp.asarray(hv['point_voxel'])
+        batch2[f'pvalid_{which}'] = jnp.asarray(hv['point_valid'])
+        batch2[f'vcoords_{which}'] = jnp.asarray(hv['voxel_coords'])
+        batch2[f'vmask_{which}'] = jnp.asarray(hv['voxel_mask'])
+        batch2[f'vmean_{which}'] = jnp.asarray(hv['voxel_mean_xyz'])
+        batch2[f'vends_{which}'] = jnp.asarray(hv['seg_ends'])
+    out_host = model.apply(variables, batch2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_dev['pred_dicts'][0]['hm']),
+        np.asarray(out_host['pred_dicts'][0]['hm']), atol=2e-4)

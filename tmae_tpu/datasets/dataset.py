@@ -103,15 +103,24 @@ class DatasetTemplate:
                 pc_range=tuple(self.pc_range), voxel_size=voxel_size,
                 max_points=self.max_points, max_voxels=int(mv[0]),
             )
+            # sorting the frame's padded point set by pillar slot (a pure
+            # permutation) lets the host also ship per-pillar means and
+            # segment ends, killing the device VFE's scatter passes
+            sort = bool(self.runtime_cfg.get('HOST_VOXELIZE_SORT', True))
             for which, pk, mk in (('cur', 'points', 'point_mask'),
                                   ('prv', 'points_prev', 'point_mask_prev')):
                 if pk not in out:
                     continue
-                hv = voxelize_host(out[pk], out[mk], spec)
+                hv = voxelize_host(out[pk], out[mk], spec, sort_points=sort)
                 out[f'pv_{which}'] = hv['point_voxel']
                 out[f'pvalid_{which}'] = hv['point_valid']
                 out[f'vcoords_{which}'] = hv['voxel_coords']
                 out[f'vmask_{which}'] = hv['voxel_mask']
+                if sort:
+                    out[pk] = hv['points']
+                    out[mk] = hv['point_mask']
+                    out[f'vmean_{which}'] = hv['voxel_mean_xyz']
+                    out[f'vends_{which}'] = hv['seg_ends']
         return out
 
     def __len__(self):  # pragma: no cover - abstract

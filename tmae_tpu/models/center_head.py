@@ -189,26 +189,28 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
     lim = jnp.asarray(post_cfg['POST_CENTER_LIMIT_RANGE'], jnp.float32)
     score_thresh = float(post_cfg['SCORE_THRESH'])
 
-    # one per-class top-K pass over ALL head groups' heatmaps (the expensive
-    # stage: a sort/approx_max_k over H*W per class), then the cheap
-    # per-group top-K on slices — exact reference _topk semantics per group
-    # (centernet_utils.py:136-151) with one fused sigmoid+sort chain
+    # Per-group flat top-K straight off the NHWC logits. The reference's
+    # _topk (top-K per class, then top-K over the C x K union,
+    # centernet_utils.py:136-151) selects exactly the global top-K over all
+    # (cell, class) pairs of the group — any global top-K element is
+    # necessarily in its class's top-K — so ONE top-K over the contiguous
+    # [B, H*W*Cg] logits gives the same candidate set with no
+    # [B,HW,C]→[B,C,HW] relayout and no second sort. Sigmoid is monotonic,
+    # so it moves after the gather (K values instead of H*W*C).
     B, H, W, _ = pred_dicts[0]['hm'].shape
-    hm_all = jnp.concatenate([pd['hm'] for pd in pred_dicts], axis=-1)
-    hm_all = jax.nn.sigmoid(hm_all.reshape(B, H * W, -1).transpose(0, 2, 1))
-    s_cls, i_cls = C.topk_heatmap_classwise(hm_all, K, exact=exact_topk)
 
     all_boxes, all_scores, all_labels, all_valid = [], [], [], []
     all_ious = []
-    c0 = 0
     for gi, pd in enumerate(pred_dicts):
         Cg = pd['hm'].shape[-1]
-        s_g = s_cls[:, c0:c0 + Cg].reshape(B, Cg * K)
-        i_g = i_cls[:, c0:c0 + Cg].reshape(B, Cg * K)
-        c0 += Cg
-        scores, i_all = jax.lax.top_k(s_g, K)            # [B, K]
-        cls = (i_all // K).astype(jnp.int32)
-        inds = jnp.take_along_axis(i_g, i_all, axis=1)
+        flat = pd['hm'].reshape(B, H * W * Cg)
+        if exact_topk:
+            logits, i_all = jax.lax.top_k(flat, K)       # [B, K]
+        else:
+            logits, i_all = jax.lax.approx_max_k(flat, K, recall_target=0.99)
+        scores = jax.nn.sigmoid(logits)
+        cls = (i_all % Cg).astype(jnp.int32)
+        inds = (i_all // Cg).astype(jnp.int32)           # flat cell index
         ys = (inds // W).astype(jnp.float32)
         xs = (inds % W).astype(jnp.float32)
         ctr = C.gather_feat_nhwc(pd['center'], inds)     # [B, K, 2]

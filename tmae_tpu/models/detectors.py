@@ -97,12 +97,19 @@ class _DetectorBase(nn.Module):
             def hv(which):
                 if f'pv_{which}' not in batch:
                     return None
-                return {
+                d = {
                     'point_voxel': batch[f'pv_{which}'],
                     'point_valid': batch[f'pvalid_{which}'],
                     'voxel_coords': batch[f'vcoords_{which}'],
                     'voxel_mask': batch[f'vmask_{which}'],
                 }
+                # sorted host voxelization extras (HOST_VOXELIZE_SORT): the
+                # precomputed pillar mean + segment ends let the VFE skip
+                # its scatter passes (ops/voxelize.py voxelize_host)
+                if f'vmean_{which}' in batch:
+                    d['voxel_mean_xyz'] = batch[f'vmean_{which}']
+                    d['seg_ends'] = batch[f'vends_{which}']
+                return d
 
             cur, prv = TemporalDynVFE(self.spec, name='vfe', **kwargs)(
                 batch['points'], batch['point_mask'],

@@ -51,9 +51,14 @@ class DynPillarEncoder(nn.Module):
         pv = vox['point_voxel']
         pvalid = vox['point_valid']
 
-        # 'mean' sample: per-voxel mean of all raw channels
-        x_mean = segment_mean(points, pv, V, valid=pvalid)  # [B, V, 4]
-        sampled_xyz = x_mean[..., :3]
+        # 'mean' sample: per-voxel mean — precomputed by the host pipeline
+        # when HOST_VOXELIZE_SORT ships it (saves a ~1.6 ms row-count-bound
+        # scatter-add at P=131k), else one fused scatter-add on device
+        if hostvox is not None and 'voxel_mean_xyz' in hostvox:
+            sampled_xyz = hostvox['voxel_mean_xyz']
+        else:
+            x_mean = segment_mean(points, pv, V, valid=pvalid)  # [B, V, 4]
+            sampled_xyz = x_mean[..., :3]
 
         # per-point features: [f_center, abs(x,y,z,i), f_cluster]
         vs = jnp.asarray(spec.voxel_size, points.dtype)
@@ -89,13 +94,25 @@ class DynPillarEncoder(nn.Module):
         if self.compute_dtype == 'bf16':
             x = x.astype(jnp.bfloat16)
 
+        # Serving fast path: host-sorted points (HOST_VOXELIZE_SORT) turn the
+        # row-count-bound scatter-max into a Pallas segmented scan + end
+        # gather (ops/sorted_segments.py). Invalid rows carry the OOB slot V,
+        # so they form their own never-gathered segment — no -inf pre-mask.
+        # Train keeps the differentiable scatter path.
+        sorted_max = (not train and hostvox is not None
+                      and 'seg_ends' in hostvox)
         n_stacks = len(self.mlps)
         for k, widths in enumerate(self.mlps):
             for w in widths:
                 x = LinearBNReLU(w, name=f'mlp{k}_{w}')(x, pvalid, train)
-            x_max = segment_max(
-                jnp.where(pvalid[..., None], x, -jnp.inf), pv, V
-            )
+            if sorted_max:
+                from ..ops.sorted_segments import sorted_segment_max
+                x_max = sorted_segment_max(
+                    x, pv, hostvox['seg_ends'], vox['voxel_mask'], V)
+            else:
+                x_max = segment_max(
+                    jnp.where(pvalid[..., None], x, -jnp.inf), pv, V
+                )
             if k == n_stacks - 1:
                 x = x_max
             else:

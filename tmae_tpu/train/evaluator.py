@@ -111,7 +111,8 @@ def eval_one_epoch(cfg, model, variables, loader, dataset, class_names,
                     'voxel_mask',
                     # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE)
                     'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
-                    'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv')
+                    'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv',
+                    'vmean_cur', 'vends_cur', 'vmean_prv', 'vends_prv')
     occ_overflow_total = 0
     for batch in loader:
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
