@@ -44,7 +44,11 @@ def main():
     )
     batch = next(iter(loader))
     dev = {k: jnp.asarray(v) for k, v in batch.items()
-           if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')}
+           if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev',
+                    # serving path: host-voxelize (+ sorted) extras
+                    'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
+                    'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv',
+                    'vmean_cur', 'vends_cur', 'vmean_prv', 'vends_prv')}
 
     spec = make_voxel_spec(cfg.DATA_CONFIG, cfg.RUNTIME)
     nx, ny, _ = spec.grid_size
@@ -113,6 +117,27 @@ def main():
                 + jnp.sum(prv['voxel_features']))
 
     scan_time('VFE (2 frames)', f_vfe)
+
+    if 'vends_cur' in dev:  # serving fast path (host means + sorted max)
+        def hv(which):
+            return {
+                'point_voxel': dev[f'pv_{which}'],
+                'point_valid': dev[f'pvalid_{which}'],
+                'voxel_coords': dev[f'vcoords_{which}'],
+                'voxel_mask': dev[f'vmask_{which}'],
+                'voxel_mean_xyz': dev[f'vmean_{which}'],
+                'seg_ends': dev[f'vends_{which}'],
+            }
+
+        def f_vfe_hv(c):
+            cur, prv = vfe.apply(v_vfe, dev['points'] + c * 1e-30,
+                                 dev['point_mask'], dev['points_prev'],
+                                 dev['point_mask_prev'], False,
+                                 hostvox_cur=hv('cur'), hostvox_prv=hv('prv'))
+            return (jnp.sum(cur['voxel_features'])
+                    + jnp.sum(prv['voxel_features']))
+
+        scan_time('VFE (hostvox)', f_vfe_hv)
 
     cur, prv = jax.jit(
         lambda b: vfe.apply(v_vfe, b['points'], b['point_mask'],
