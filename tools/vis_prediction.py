@@ -42,6 +42,10 @@ def main():
     parser.add_argument('--ckpt', default=None)
     parser.add_argument('--num', type=int, default=4)
     parser.add_argument('--out_dir', default='vis_out')
+    parser.add_argument('--interactive', action='store_true',
+                        help='3D scene viewer (open3d window when available, '
+                             'interactive matplotlib-3D otherwise; PNG export '
+                             'when headless) instead of BEV PNGs')
     args = parser.parse_args()
 
     import matplotlib
@@ -97,6 +101,23 @@ def main():
             boxes, scores, labels, valid = jax.device_get(infer(variables, db))
             pred_boxes = boxes[0][valid[0]]
             pred_scores = scores[0][valid[0]]
+        if args.interactive:
+            import os
+            from tools.visual_utils.interactive_vis import (
+                draw_scenes_with_2pcs,
+            )
+            prv = None
+            if 'points_prev' in batch:
+                prv = batch['points_prev'][0][batch['point_mask_prev'][0]]
+            headless = not os.environ.get('DISPLAY')
+            save = (str(out_dir / f'scene_{i:04d}.png') if headless else None)
+            out = draw_scenes_with_2pcs(
+                pts, prv if prv is not None else pts[:0],
+                gt_boxes=gt, ref_boxes=pred_boxes, ref_scores=pred_scores,
+                save_path=save)
+            if out:
+                print('wrote', out)
+            continue
         fig, ax = plt.subplots(figsize=(10, 10))
         draw_bev(ax, pts, gt, pred_boxes, pred_scores)
         ax.set_title(str(batch['frame_id'][0]))
