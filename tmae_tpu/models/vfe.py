@@ -141,9 +141,15 @@ class TemporalDynVFE(nn.Module):
     use_cluster_xyz: bool = True
     with_distance: bool = False
     compute_dtype: str = 'f32'
+    # rematerialize the per-point MLP in the backward: its activations are
+    # the largest train-time tensors (B x 131072 x (64+128) f32 per frame at
+    # the production point cap) and the recompute is ~4 ms/frame
+    remat: bool = True
 
     def setup(self):
-        self.encoder = DynPillarEncoder(
+        cls = (nn.remat(DynPillarEncoder, static_argnums=(3,))
+               if self.remat else DynPillarEncoder)  # 3 = train (self is 0)
+        self.encoder = cls(
             self.spec, self.mlps,
             use_absolute_xyz=self.use_absolute_xyz,
             use_cluster_xyz=self.use_cluster_xyz,

@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--model', choices=['finetune', 'mae'], default='finetune')
     ap.add_argument('--batches', type=int, nargs='+', default=[1, 2, 4])
+    ap.add_argument('--set', dest='set_cfgs', nargs='+', default=None,
+                    help='config overrides, e.g. RUNTIME.VFE_COMPUTE bf16')
     cli = ap.parse_args()
 
     import jax
@@ -44,6 +46,9 @@ def main():
     yaml_name = ('t_mae_ssl_synth.yaml' if cli.model == 'mae'
                  else 't_mae_synth.yaml')
     cfg = cfg_from_yaml_file(REPO / 'tools/cfgs/once_models' / yaml_name)
+    if cli.set_cfgs:
+        from tmae_tpu.config import cfg_from_list
+        cfg = cfg_from_list(cli.set_cfgs, cfg)
     for B in cli.batches:
         _, loader = build_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size=B, training=True,
