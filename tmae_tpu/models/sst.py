@@ -48,6 +48,9 @@ COMPUTE_DTYPE = jnp.bfloat16
 import os as _os  # noqa: E402
 
 _NO_COMBINED = bool(_os.environ.get('TMAE_NO_COMBINED'))
+# Debug escape hatch for the round-5 fused DMA+layer+DMA serving kernels
+# (falls back to the combined-bucket gather/rows/scatter path).
+_NO_FUSED_INPLACE = bool(_os.environ.get('TMAE_NO_FUSED_INPLACE'))
 
 
 @flax.struct.dataclass
@@ -321,6 +324,27 @@ class DenseEncoderLayer(nn.Module):
                 out = out.reshape(B, cap, T, C)
                 return scatter_windows_into_padded(out, si.idx, xp, w)
 
+            def run_fused_inplace(bc, xp):
+                # round-5 serving path: one pallas_call per bucket fuses
+                # DMA-in + layer + DMA-out directly against the padded
+                # carrier — no intermediate window tensor, 3 launches/layer
+                # (pallas_encoder.py fused in-place section). Buckets touch
+                # disjoint window sets, so order is free.
+                for si in (bc.small, bc.mid):
+                    if si is None or not si.idx.shape[1]:
+                        continue
+                    xp = pallas_encoder.encoder_layer_fused_inplace(
+                        xp, kvp, si, pos, *params, nhead=self.nhead,
+                        tau_min=self.tau_min, cross=cross, window=w,
+                        sel=True)
+                ci = bc.full
+                if ci is not None and ci.idx.shape[1]:
+                    xp = pallas_encoder.encoder_layer_fused_inplace(
+                        xp, kvp, ci, pos, *params, nhead=self.nhead,
+                        tau_min=self.tau_min, cross=cross, window=w,
+                        sel=False)
+                return xp
+
             def run_combined(bc, xp):
                 # serving: ONE gather over the concatenated plan, per-bucket
                 # in-place row kernels, ONE scatter (see pallas_encoder.py
@@ -357,7 +381,13 @@ class DenseEncoderLayer(nn.Module):
                 # use train=True — otherwise Pallas raises a transpose error.
                 if (self.serving and use_pallas and not _NO_COMBINED
                         and compact.cat_idx is not None):
-                    xp = run_combined(compact, xp)
+                    # interpret mode keeps the BlockSpec-based combined path
+                    # (manual-DMA kernels are excluded there, like the multi
+                    # gather/scatter in occ_compact)
+                    if _NO_FUSED_INPLACE or pallas_encoder._INTERPRET:
+                        xp = run_combined(compact, xp)
+                    else:
+                        xp = run_fused_inplace(compact, xp)
                 else:
                     if (compact.full is not None
                             and compact.full.idx.shape[1]):

@@ -1728,3 +1728,214 @@ def encoder_layer_rows_sel(xw_all, kv_all, sel_q, sel_k, qmask, kmask, pos,
         ),
         interpret=_INTERPRET,
     )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Fused in-place layer kernels (serving path, round 5).
+#
+# The combined-bucket path above still pays one gather + one scatter per
+# layer — 6 HBM passes over the window tensor (grid blocks -> xw_all ->
+# kernels -> xw_all -> grid blocks) and measured ~1.24 ms/layer at stage-1
+# caps B=2 (tools/profile_wca_split.py), which dominates a stage whose math
+# is ~0.3 ms. These kernels fuse DMA-in + layer + DMA-out into ONE
+# pallas_call per bucket: each grid step copies TILE_WINDOWS windows from
+# the padded grid (HBM, aliased in/out) into VMEM scratch, runs the layer
+# body on the tile, and copies the results back — 2 HBM passes over only the
+# touched blocks, no intermediate window tensor, 3 launches/layer (small +
+# mid + full) instead of 5-6.
+#
+# Forward-only (no custom_vjp; the output aliases the input). models/sst.py
+# gates on `serving` exactly like the combined path.
+# ---------------------------------------------------------------------------
+
+
+def _fused_param_specs(params, dt):
+    """_row_param_ops with scalar-prefetch index maps (wy/wx refs appended)."""
+    (wq, bq, wk, bk, wv, bv, wo, bo, tau, ln1s, ln1b, f1w, f1b, f2w, f2b,
+     ln2s, ln2b) = params
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    mat = lambda a: a.astype(dt)
+    C = wq.shape[0]
+    F = f1w.shape[1]
+    wspec = lambda shape: pl.BlockSpec(
+        shape, lambda b, i, *_: (0,) * len(shape), memory_space=pltpu.VMEM)
+    specs = [
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((C, C)), wspec((1, C)), wspec((C, C)), wspec((1, C)),
+        wspec((1, 1)),
+        wspec((1, C)), wspec((1, C)),
+        wspec((C, F)), wspec((1, F)), wspec((F, C)), wspec((1, C)),
+        wspec((1, C)), wspec((1, C)),
+    ]
+    ops = (mat(wq), row(bq), mat(wk), row(bk), mat(wv), row(bv), mat(wo),
+           row(bo), tau.reshape(1, 1).astype(jnp.float32), row(ln1s),
+           row(ln1b), mat(f1w), row(f1b), mat(f2w), row(f2b), row(ln2s),
+           row(ln2b))
+    return specs, ops
+
+
+def _tile_dma_in(src_any, wy_ref, wx_ref, tile, sems, b, base, w, tw):
+    dmas = []
+    for k in range(tw):
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        dma = pltpu.make_async_copy(
+            src_any.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :],
+            tile.at[k], sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+
+def _tile_dma_out(tile, wy_ref, wx_ref, dst_any, sems, b, base, w, tw):
+    dmas = []
+    for k in range(tw):
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        dma = pltpu.make_async_copy(
+            tile.at[k],
+            dst_any.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :],
+            sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    for dma in dmas:
+        dma.wait()
+
+
+def _kernel_fused_full(*refs, nhead, tau_min, cross, w, tw):
+    if cross:
+        (wy_ref, wx_ref, x_any, kv_any, qm_ref, km_ref,
+         pos_ref), rest = refs[:7], refs[7:]
+    else:
+        (wy_ref, wx_ref, x_any, qm_ref, pos_ref), rest = refs[:5], refs[5:]
+    o_any = rest[17]
+    p = rest[:17]
+    if cross:
+        x_tile, kv_tile, o_tile, sems, ksems = rest[18:]
+    else:
+        x_tile, o_tile, sems = rest[18:]
+    b = pl.program_id(0)
+    base = pl.program_id(1) * tw
+    C = x_tile.shape[-1]
+    T = w * w
+    _tile_dma_in(x_any, wy_ref, wx_ref, x_tile, sems, b, base, w, tw)
+    if cross:
+        _tile_dma_in(kv_any, wy_ref, wx_ref, kv_tile, ksems, b, base, w, tw)
+    x = x_tile[:].reshape(tw, T, C)
+    kv = kv_tile[:].reshape(tw, T, C) if cross else x
+    out = _layer_body(
+        x, kv, qm_ref[0], km_ref[0] if cross else qm_ref[0], pos_ref, *p,
+        nhead, tau_min, cross,
+    )
+    o_tile[:] = out.reshape(tw, w, w, C).astype(o_tile.dtype)
+    _tile_dma_out(o_tile, wy_ref, wx_ref, o_any, sems, b, base, w, tw)
+
+
+def _kernel_fused_sel(*refs, nhead, tau_min, cross, w, tw, small_tokens):
+    if cross:
+        (wy_ref, wx_ref, x_any, kv_any, selq_ref, selk_ref, qm_ref, km_ref,
+         pos_ref), rest = refs[:9], refs[9:]
+    else:
+        (wy_ref, wx_ref, x_any, selq_ref, qm_ref,
+         pos_ref), rest = refs[:6], refs[6:]
+    o_any = rest[17]
+    p = rest[:17]
+    if cross:
+        x_tile, kv_tile, o_tile, sems, ksems = rest[18:]
+    else:
+        x_tile, o_tile, sems = rest[18:]
+    b = pl.program_id(0)
+    base = pl.program_id(1) * tw
+    C = x_tile.shape[-1]
+    T = w * w
+    _tile_dma_in(x_any, wy_ref, wx_ref, x_tile, sems, b, base, w, tw)
+    if cross:
+        _tile_dma_in(kv_any, wy_ref, wx_ref, kv_tile, ksems, b, base, w, tw)
+    x = x_tile[:].reshape(tw, T, C)
+    kv = kv_tile[:].reshape(tw, T, C) if cross else x
+    out = _layer_body_sel(
+        x, kv, selq_ref[0], selk_ref[0] if cross else selq_ref[0],
+        qm_ref[0], km_ref[0] if cross else qm_ref[0], pos_ref, *p,
+        nhead, tau_min, cross, small_tokens,
+    )
+    o_tile[:] = out.reshape(tw, w, w, C).astype(o_tile.dtype)
+    _tile_dma_out(o_tile, wy_ref, wx_ref, o_any, sems, b, base, w, tw)
+
+
+def encoder_layer_fused_inplace(xp, kvp, ci, pos, *params, nhead, tau_min,
+                                cross, window, sel: bool):
+    """Run one encoder layer over the windows of one bucket plan DIRECTLY on
+    the padded grid ``xp`` [B, Hp + w, Wp, C] (updated in place via aliasing;
+    unvisited windows keep their content). ``ci`` is a CompactInfo
+    (``sel=False``: full 64-token windows) or SmallCompactInfo (``sel=True``:
+    packed S-token math). TPU/interpret only — forward-only."""
+    B = xp.shape[0]
+    w = window
+    T = w * w
+    C = xp.shape[-1]
+    cap = ci.idx.shape[1]
+    tw = TILE_WINDOWS
+    assert cap % tw == 0, (cap, tw)
+    dt = xp.dtype
+    wy, wx = ci.idx[..., 0], ci.idx[..., 1]
+    pspecs, pops = _fused_param_specs(params, dt)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    pos_spec = pl.BlockSpec((T, C), lambda b, i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((tw, w, w, C), dt),
+        pltpu.VMEM((tw, w, w, C), dt),
+        pltpu.SemaphoreType.DMA((tw,)),
+    ]
+    if cross:
+        scratch.insert(1, pltpu.VMEM((tw, w, w, C), dt))
+        scratch.append(pltpu.SemaphoreType.DMA((tw,)))
+    if sel:
+        S = ci.sel.shape[-1]
+        sspec = pl.BlockSpec((1, tw, S), lambda b, i, *_: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _kernel_fused_sel, nhead=nhead, tau_min=tau_min, cross=cross,
+            w=w, tw=tw, small_tokens=S)
+        if cross:
+            in_specs = [any_spec, any_spec, sspec, sspec, sspec, sspec,
+                        pos_spec] + pspecs
+            operands = (xp, kvp, ci.sel, ci.ksel,
+                        ci.qmask.astype(jnp.float32),
+                        ci.kmask.astype(jnp.float32), pos) + pops
+        else:
+            in_specs = [any_spec, sspec, sspec, pos_spec] + pspecs
+            operands = (xp, ci.sel, ci.qmask.astype(jnp.float32), pos) + pops
+    else:
+        mspec = pl.BlockSpec((1, tw, T), lambda b, i, *_: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+        kernel = functools.partial(
+            _kernel_fused_full, nhead=nhead, tau_min=tau_min, cross=cross,
+            w=w, tw=tw)
+        if cross:
+            in_specs = [any_spec, any_spec, mspec, mspec, pos_spec] + pspecs
+            operands = (xp, kvp, ci.qmask.astype(jnp.float32),
+                        ci.kmask.astype(jnp.float32), pos) + pops
+        else:
+            in_specs = [any_spec, mspec, pos_spec] + pspecs
+            operands = (xp, ci.qmask.astype(jnp.float32), pos) + pops
+    alias_src = 2  # operand index of xp, counting the two scalar-prefetch args
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, cap // tw),
+            in_specs=in_specs,
+            out_specs=any_spec,
+            scratch_shapes=scratch,
+        ),
+        input_output_aliases={alias_src: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(wy, wx, *operands)
