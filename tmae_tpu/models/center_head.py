@@ -205,7 +205,10 @@ def decode_and_nms(pred_dicts, post_cfg, voxel_size, pc_range,
         Cg = pd['hm'].shape[-1]
         flat = pd['hm'].reshape(B, H * W * Cg)
         if exact_topk:
-            logits, i_all = jax.lax.top_k(flat, K)       # [B, K]
+            # blocked exact top-K with on-device verification + full-sort
+            # fallback (ops/centernet.exact_topk_flat) — exact _topk
+            # semantics at ~6x less sort work than lax.top_k over 1.1M
+            logits, i_all = C.exact_topk_flat(flat, K)   # [B, K]
         else:
             logits, i_all = jax.lax.approx_max_k(flat, K, recall_target=0.99)
         scores = jax.nn.sigmoid(logits)
