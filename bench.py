@@ -157,6 +157,12 @@ def child():
                                        exact_topk=False)
         return model, infer
 
+    # analytic model FLOPs per frame -> report achieved MFU beside fps
+    # (tmae_tpu/utils/flops.py; XLA cost_analysis can't see into Pallas calls)
+    from tmae_tpu.utils.flops import V5E_PEAK_BF16, model_flops_breakdown
+    FLOPS_PER_FRAME = sum(
+        model_flops_breakdown(cfg, batch=bench_batch).values()) / bench_batch
+
     def emit(tag, fps):
         print(json.dumps({
             'tag': tag,
@@ -171,12 +177,7 @@ def child():
     reps = int(os.environ.get('BENCH_REPS', '30'))
     depth = int(os.environ.get('BENCH_PIPELINE_DEPTH', '4'))
 
-    def measure(infer, tag):
-        """Pipelined throughput: dispatch frame i+1 before fetching frame i's
-        results — every frame's boxes still reach the host (+ host NMS there),
-        but the relay round-trip overlaps device compute. This measures
-        steady-state THROUGHPUT, the metric the frames/sec/chip target names
-        (reference harness: 200-rep eval_infer_speed, eval_utils.py:57-77)."""
+    def one_pass(infer, tag, stream_partials):
         done = 0
         t0 = time.perf_counter()
         inflight = collections.deque()
@@ -187,15 +188,39 @@ def child():
                 if not nms_device:
                     host_nms(cfg, boxes, scores, labels, valid)
                 done += 1
-                emit('partial-' + tag, done * dev_batch['points'].shape[0] /
-                     (time.perf_counter() - t0))
+                if stream_partials:
+                    emit('partial-' + tag,
+                         done * dev_batch['points'].shape[0] /
+                         (time.perf_counter() - t0))
         while inflight:
             boxes, scores, labels, valid = jax.device_get(inflight.popleft())
             if not nms_device:
                 host_nms(cfg, boxes, scores, labels, valid)
             done += 1
-        fps = done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
+        return done * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
+
+    n_meas = int(os.environ.get('BENCH_MEASUREMENTS', '3'))
+
+    def measure(infer, tag):
+        """Pipelined throughput: dispatch frame i+1 before fetching frame i's
+        results — every frame's boxes still reach the host (+ host NMS there),
+        but the relay round-trip overlaps device compute. This measures
+        steady-state THROUGHPUT, the metric the frames/sec/chip target names
+        (reference harness: 200-rep eval_infer_speed, eval_utils.py:57-77).
+
+        The graph is compiled by now, so repetitions cost ~reps/fps seconds
+        each; the MEDIAN of n_meas passes is the reported number and the
+        spread goes to stderr (relay-weather observability, VERDICT r4 #7)."""
+        vals = [one_pass(infer, tag, stream_partials=(i == 0))
+                for i in range(max(1, n_meas))]
+        svals = sorted(vals)
+        fps = svals[len(svals) // 2]
         emit(tag, fps)
+        note(f'{tag}: median {fps:.2f} fps of {n_meas} passes '
+             f'[{svals[0]:.2f}..{svals[-1]:.2f}] = '
+             f'{FLOPS_PER_FRAME * fps / 1e12:.2f} TFLOP/s achieved, MFU '
+             f'{FLOPS_PER_FRAME * fps / V5E_PEAK_BF16:.1%} '
+             f'({FLOPS_PER_FRAME / 1e9:.0f} GFLOP/frame analytic)')
         return fps
 
     # --- stage A: round-2-style unbucketed compact graph (fast compile) ---

@@ -44,8 +44,10 @@ def main():
     mids = [int(v) for v in rt.get('OCC_MID_CAPS', [0, 0, 0])]
     blocks_cfg = cfg.MODEL.BACKBONE_3D['SST_BLOCK_LIST']
 
+    times = {}
+
     def scan_time(name, fn, reps_pair=(16, 48)):
-        times = []
+        ts = []
         for reps in reps_pair:
             @jax.jit
             def loop():
@@ -57,9 +59,10 @@ def main():
             _ = jax.device_get(loop())
             t0 = time.perf_counter()
             _ = jax.device_get(loop())
-            times.append(time.perf_counter() - t0)
-        dt = (times[1] - times[0]) / (reps_pair[1] - reps_pair[0]) * 1e3
+            ts.append(time.perf_counter() - t0)
+        dt = (ts[1] - ts[0]) / (reps_pair[1] - reps_pair[0]) * 1e3
         print(f'{name:30s}{dt:8.2f} ms', flush=True)
+        times[name] = dt
         return dt
 
     # real occupancy: run the VFE once
@@ -191,6 +194,22 @@ def main():
         return jnp.sum(out.astype(jnp.float32))
 
     scan_time('gather+scatter cat_idx stage1', f_gs)
+
+    # --- analytic FLOPs + achieved MFU per stage (VERDICT r4 #2) ---
+    from tmae_tpu.utils.flops import format_table, model_flops_breakdown
+
+    bd = model_flops_breakdown(cfg, batch=1)
+    tmap = {
+        'sst_block_0 (2 frames)': times.get('sst_block_0 (B=2)'),
+        'sst_block_1 (2 frames)': times.get('sst_block_1 (B=2)'),
+        'sst_block_2 (2 frames)': times.get('sst_block_2 (B=2)'),
+        'wca_block_0': times.get('wca_block_0'),
+        'wca_block_1': times.get('wca_block_1'),
+        'wca_block_2': times.get('wca_block_2'),
+        'pyramid_fuse': times.get('PyramidFuse'),
+    }
+    print('\nFLOPs/MFU (analytic, dispatched bucket shapes; v5e bf16 peak):')
+    print(format_table(bd, {k: v for k, v in tmap.items() if v}))
 
 
 if __name__ == '__main__':
