@@ -110,3 +110,43 @@ def test_graft_entry_and_multichip_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 1
     ge.dryrun_multichip(4)
+
+
+@pytest.mark.slow
+def test_sharded_eval_merges_results():
+    """Data-parallel eval over the 8-virtual-device CPU mesh: sharded batch →
+    per-shard decode → host merge + NMS (VERDICT r4 #9; reference multi-GPU
+    eval merge, eval_utils.py:110-113)."""
+    from tmae_tpu.models.detectors import host_nms
+
+    cfg = tiny_cfg(mae=False)
+    cfg.DATA_CONFIG = _data_cfg()
+    runtime = {'MAX_POINTS': 256, 'MAX_VOXELS': [128, 96, 64], 'MAX_GT': 8}
+    cfg.RUNTIME = Cfg.from_dict(runtime)
+    n_dev = min(4, jax.device_count())
+    ds, loader = build_dataloader(
+        cfg.DATA_CONFIG, CLASS_NAMES, batch_size=n_dev, training=False,
+        runtime_cfg=runtime, seed=0,
+    )
+    model = build_detector(cfg)
+    batch = next(iter(loader))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != 'frame_id'}
+    variables = model.init(jax.random.PRNGKey(0), jbatch, train=False)
+
+    mesh = make_data_mesh(jax.devices()[:n_dev])
+    dev_batch = shard_batch(jbatch, mesh)
+
+    @jax.jit
+    def eval_step(v, b):
+        out = model.apply(v, b, train=False)
+        return centerpoint_predict(cfg, out, nms_on_device=False)
+
+    res = eval_step(variables, dev_batch)
+    # per-shard predictions: every sample's row lives on its device
+    shards = {s.device.id for s in res[0].addressable_shards}
+    assert len(shards) == n_dev
+    boxes, scores, labels, valid = jax.device_get(res)  # the host merge
+    assert boxes.shape[0] == n_dev and boxes.shape[-1] == 7
+    valid = host_nms(cfg, boxes, scores, labels, valid)
+    assert valid.shape == scores.shape
+    assert np.isfinite(boxes[np.asarray(valid)]).all()
