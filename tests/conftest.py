@@ -8,13 +8,18 @@ no backend has been initialized yet.
 
 import os
 
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8'
-    ).strip()
-os.environ['JAX_PLATFORMS'] = 'cpu'
+if os.environ.get('TMAE_TPU_TESTS'):
+    # opt-out for @pytest.mark.tpu runs: keep whatever backend the image
+    # attaches (the axon TPU) — TMAE_TPU_TESTS=1 python -m pytest -m tpu
+    pass
+else:
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8'
+        ).strip()
+    os.environ['JAX_PLATFORMS'] = 'cpu'
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_platforms', 'cpu')

@@ -81,3 +81,26 @@ def test_cpu_fallback_matches():
                                              block=64)
     want = jnp.where(mask[..., None], segment_max(feat, seg, 16), 0.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.tpu
+def test_real_tpu_production_shapes():
+    """Mosaic lowering regression guard (ADVICE r4 #3): the REAL-TPU kernel
+    must be bit-equal to the scatter segment_max at production-like shapes,
+    f32 and bf16. Runs only when a TPU backend is attached
+    (pytest -m tpu outside the CPU-forced default conftest)."""
+    import jax
+
+    if jax.default_backend() == 'cpu':
+        pytest.skip('needs a real TPU backend')
+    sorted_segments.set_interpret(False)
+    rng = np.random.RandomState(3)
+    B, P, V, C = 1, 131072, 4096, 128
+    feat, seg, ends, mask = _case(rng, B, P, V, C)
+    for dt in (jnp.float32, jnp.bfloat16):
+        f = feat.astype(dt)
+        got = sorted_segments.sorted_segment_max(f, seg, ends, mask, V,
+                                                 block=1024)
+        want = jnp.where(mask[..., None], segment_max(f, seg, V),
+                         jnp.zeros((), dt))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

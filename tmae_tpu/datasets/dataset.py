@@ -105,7 +105,13 @@ class DatasetTemplate:
             )
             # sorting the frame's padded point set by pillar slot (a pure
             # permutation) lets the host also ship per-pillar means and
-            # segment ends, killing the device VFE's scatter passes
+            # segment ends, killing the device VFE's scatter passes.
+            # DEFAULT ON for every HOST_VOXELIZE config (ADVICE r4 #5, kept
+            # deliberately): batches carry pillar-permuted points and the
+            # pillar means come from the host's f64 accumulation — equivalent
+            # to the device path within ~2e-4 relative (the equivalence-test
+            # tolerance); set HOST_VOXELIZE_SORT: false to get byte-identical
+            # device-path inputs.
             sort = bool(self.runtime_cfg.get('HOST_VOXELIZE_SORT', True))
             for which, pk, mk in (('cur', 'points', 'point_mask'),
                                   ('prv', 'points_prev', 'point_mask_prev')):

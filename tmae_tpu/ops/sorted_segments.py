@@ -71,9 +71,11 @@ def sorted_segment_max(feat: jnp.ndarray, seg: jnp.ndarray,
                        num_segments: int, block: int = 1024):
     """Per-segment max over rows sorted by segment id.
 
-    feat [B, P, C] (invalid rows must already hold ``-inf``), seg [B, P]
-    non-decreasing per batch row, seg_ends [B, V] index of each segment's
-    last row (0 for empty), seg_mask [B, V] segment-present flags.
+    feat [B, P, C]; invalid rows must either carry an OUT-OF-RANGE segment id
+    (>= num_segments, e.g. the host voxelizer's OOB slot V — they then form
+    trailing segments that no ``seg_ends`` entry gathers) OR hold ``-inf``.
+    seg [B, P] non-decreasing per batch row, seg_ends [B, V] index of each
+    segment's last row (0 for empty), seg_mask [B, V] segment-present flags.
     Returns [B, V, C] with 0 for empty segments (``segment_max`` semantics).
     """
     B, P, C = feat.shape

@@ -184,7 +184,8 @@ def _draw_mpl(points, prev_points, gt_boxes, ref_boxes, ref_labels,
                 ax.text(box[0], box[1], box[2] + box[5], f'{float(s):.2f}',
                         color='white', fontsize=6)
     ax.set_axis_off()
-    lim = max(np.abs(points[:, :2]).max(), 10.0)
+    lim = (max(np.abs(points[:, :2]).max(), 10.0)
+           if points.shape[0] else 10.0)
     ax.set_xlim(-lim, lim)
     ax.set_ylim(-lim, lim)
     ax.set_zlim(-5, 5)
