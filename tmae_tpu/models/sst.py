@@ -345,6 +345,52 @@ class DenseEncoderLayer(nn.Module):
                         sel=False)
                 return xp
 
+            def run_train_cat(bc, xp):
+                # training (round 5): ONE differentiable gather over the
+                # concatenated plan, per-bucket kernels on ROW SLICES (the
+                # custom_vjp fused kernels), one concat, ONE differentiable
+                # scatter — 5 launches/layer fwd (and ~5 bwd) instead of the
+                # 9 (12 cross) of per-bucket gather/kernel/scatter triples.
+                xw_all = gather_windows_padded(xp, bc.cat_idx, w)
+                kv_all = (gather_windows_padded(kvp, bc.cat_idx, w)
+                          if cross else None)
+                lo = 0
+                outs = []
+                for si in (bc.small, bc.mid):
+                    if si is None or not si.idx.shape[1]:
+                        continue
+                    cap = si.idx.shape[1]
+                    xw = jax.lax.slice_in_dim(xw_all, lo, lo + cap, axis=1)
+                    kvw = (jax.lax.slice_in_dim(kv_all, lo, lo + cap, axis=1)
+                           if cross else xw)
+                    out = pallas_encoder.fused_encoder_layer_sel(
+                        flatn(xw), flatn(kvw), flatn(si.sel),
+                        flatn(si.ksel if cross else si.sel),
+                        flatn(si.qmask),
+                        flatn(si.kmask if cross else si.qmask),
+                        pos, *params, self.nhead, self.tau_min, cross,
+                    )
+                    outs.append(out.reshape(B, cap, T, C))
+                    lo += cap
+                ci = bc.full
+                if ci is not None and ci.idx.shape[1]:
+                    cap = ci.idx.shape[1]
+                    xw = jax.lax.slice_in_dim(xw_all, lo, lo + cap, axis=1)
+                    kvw = (jax.lax.slice_in_dim(kv_all, lo, lo + cap, axis=1)
+                           if cross else xw)
+                    fn = (pallas_encoder.fused_encoder_layer if use_pallas
+                          else pallas_encoder.reference_encoder_layer)
+                    out = fn(
+                        flatn(xw), flatn(kvw), flatn(ci.qmask),
+                        flatn(ci.kmask if cross else ci.qmask), pos, *params,
+                        nhead=self.nhead, tau_min=self.tau_min, cross=cross,
+                    )
+                    outs.append(out.reshape(B, cap, T, C))
+                out_all = (outs[0] if len(outs) == 1
+                           else jnp.concatenate(outs, axis=1))
+                return scatter_windows_into_padded(
+                    out_all.astype(xp.dtype), bc.cat_idx, xp, w)
+
             def run_combined(bc, xp):
                 # serving: ONE gather over the concatenated plan, per-bucket
                 # in-place row kernels, ONE scatter (see pallas_encoder.py
@@ -388,6 +434,8 @@ class DenseEncoderLayer(nn.Module):
                         xp = run_combined(compact, xp)
                     else:
                         xp = run_fused_inplace(compact, xp)
+                elif compact.cat_idx is not None:
+                    xp = run_train_cat(compact, xp)
                 else:
                     if (compact.full is not None
                             and compact.full.idx.shape[1]):
