@@ -146,15 +146,20 @@ def child():
     # Equivalence of the two paths: tests/test_nms_device_host.py.
     nms_device = os.environ.get('BENCH_NMS', 'host') == 'device'
 
+    # BENCH_TOPK=approx opts into approx_max_k (recall 0.99, ~0.3 ms less);
+    # the DEFAULT is the exact blocked top-K the eval path uses
+    # (ops/centernet.exact_topk_flat) — the headline number measures the
+    # decode eval actually runs (VERDICT r4 #4)
+    exact = os.environ.get('BENCH_TOPK', 'exact') == 'exact'
+
     def make_infer(stage_cfg):
         model = build_detector(stage_cfg)
 
         @jax.jit
         def infer(variables, b):
             out = model.apply(variables, b, train=False)
-            # serving hot path: approximate top-k (recall 0.99); eval uses exact
             return centerpoint_predict(stage_cfg, out, nms_on_device=nms_device,
-                                       exact_topk=False)
+                                       exact_topk=exact)
         return model, infer
 
     # analytic model FLOPs per frame -> report achieved MFU beside fps

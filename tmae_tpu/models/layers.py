@@ -161,9 +161,11 @@ class DeconvBNReLU(nn.Module):
         else:
             kmat = jnp.transpose(K[::-1, ::-1], (2, 0, 1, 3)).reshape(
                 cin, s * s * self.features)
+            # cast BEFORE the depth-to-space relayout: the transpose is a
+            # full-map HBM pass at the upsampled size, half the bytes in bf16
             y = jnp.dot(xc, kmat.astype(CONV_DTYPE),
                         preferred_element_type=jnp.float32)
-            y = y.reshape(B, H, W, s, s, self.features)
+            y = y.astype(CARRIER_DTYPE).reshape(B, H, W, s, s, self.features)
             y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                 B, H * s, W * s, self.features)
         x = y.astype(CARRIER_DTYPE)

@@ -170,19 +170,20 @@ def gather_feat_nhwc(feat: jnp.ndarray, inds: jnp.ndarray):
         flat, inds[..., None].astype(jnp.int32), axis=1)
 
 
-def exact_topk_flat(flat: jnp.ndarray, K: int, block: int = 512,
-                    m: int = 128):
+def exact_topk_flat(flat: jnp.ndarray, K: int, block: int = 2048,
+                    m: int = 64):
     """EXACT top-K over a large flat axis at ~blocked-sort cost.
 
     ``lax.top_k`` over the ONCE decode's H*W*C ≈ 1.1M logits lowers to a full
-    sort (~3 ms); this runs a per-block partial top-``m`` (sorting ``block``
-    lanes per row instead of N), a cheap top-K over the nb*m candidate union,
-    then VERIFIES exactness on device: the union misses a global top-K element
-    only if some block holds > m elements above the union's K-th value. When
-    that (never observed at real heatmap statistics: Gaussian peaks spread far
-    more than 128-per-512-cells) fires, a ``lax.cond`` falls back to the full
-    sort, so the result is exact unconditionally. Tie-breaking at the K-th
-    value boundary may pick different equal-valued candidates than lax.top_k.
+    sort (2.04 ms measured); this runs a per-block partial top-``m`` (sorting
+    ``block`` lanes per row instead of N), a cheap top-K over the nb*m
+    candidate union, then VERIFIES exactness on device: the union misses a
+    global top-K element only if some block holds > m elements above the
+    union's K-th value. When that fires, a ``lax.cond`` falls back to the
+    full sort, so the result is exact unconditionally. Measured 0.71 ms at
+    the defaults vs 0.38 ms for approx_max_k(0.99) (tools/profile_decode.py).
+    Tie-breaking at the K-th value boundary may pick different equal-valued
+    candidates than lax.top_k.
     """
     B, N = flat.shape
     nb = (N + block - 1) // block

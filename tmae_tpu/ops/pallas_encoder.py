@@ -23,6 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_WINDOWS = 16  # 32 wins ~7% standalone but loses ~5% in-model (and compiles 2x slower)
 
+# Tile width of the round-5 fused DMA+layer kernels only (the rows/sel
+# kernels stay coupled to TILE_WINDOWS via round_cap). Larger tiles amortize
+# per-descriptor DMA issue cost when every cap divides it.
+import os as _os_pe  # noqa: E402
+
+FUSED_TW = int(_os_pe.environ.get('TMAE_FUSED_TW', '16'))
+
 _INTERPRET = False
 
 
@@ -1877,7 +1884,7 @@ def encoder_layer_fused_inplace(xp, kvp, ci, pos, *params, nhead, tau_min,
     T = w * w
     C = xp.shape[-1]
     cap = ci.idx.shape[1]
-    tw = TILE_WINDOWS
+    tw = FUSED_TW if cap % FUSED_TW == 0 else TILE_WINDOWS
     assert cap % tw == 0, (cap, tw)
     dt = xp.dtype
     wy, wx = ci.idx[..., 0], ci.idx[..., 1]
@@ -1934,6 +1941,194 @@ def encoder_layer_fused_inplace(xp, kvp, ci, pos, *params, nhead, tau_min,
             scratch_shapes=scratch,
         ),
         input_output_aliases={alias_src: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(wy, wx, *operands)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined fused layer: double-buffered DMA across grid steps. The in-place
+# kernel above serializes DMA-in -> compute -> DMA-out per chunk; here chunk
+# j+1's window fetch and chunk j-1's writeback run DURING chunk j's compute
+# (2-slot scratch, reconstructed-descriptor waits), so a DMA-bound layer runs
+# at ~max(DMA, compute) instead of their sum.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fused_piped(*refs, nhead, tau_min, cross, w, tw, sel, S, nch,
+                        total):
+    if sel:
+        if cross:
+            (wy_ref, wx_ref, x_any, kv_any, selq_ref, selk_ref, qm_ref,
+             km_ref, pos_ref), rest = refs[:9], refs[9:]
+        else:
+            (wy_ref, wx_ref, x_any, selq_ref, qm_ref,
+             pos_ref), rest = refs[:6], refs[6:]
+    else:
+        if cross:
+            (wy_ref, wx_ref, x_any, kv_any, qm_ref, km_ref,
+             pos_ref), rest = refs[:7], refs[7:]
+        else:
+            (wy_ref, wx_ref, x_any, qm_ref, pos_ref), rest = refs[:5], refs[5:]
+    o_any = rest[17]
+    p = rest[:17]
+    if cross:
+        x_tile, kv_tile, o_tile, in_sems, kv_sems, out_sems = rest[18:]
+    else:
+        x_tile, o_tile, in_sems, out_sems = rest[18:]
+        kv_tile = kv_sems = None
+    i = pl.program_id(0)
+    C = x_tile.shape[-1]
+    T = w * w
+
+    def in_copy(t, start):
+        b = t // nch
+        base = (t % nch) * tw
+        s = jax.lax.rem(t, 2)
+        for k in range(tw):
+            wy = wy_ref[b, base + k]
+            wx = wx_ref[b, base + k]
+            src = x_any.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :]
+            dma = pltpu.make_async_copy(src, x_tile.at[s, k],
+                                        in_sems.at[s, k])
+            dma.start() if start else dma.wait()
+            if cross:
+                srck = kv_any.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :]
+                dmak = pltpu.make_async_copy(srck, kv_tile.at[s, k],
+                                             kv_sems.at[s, k])
+                dmak.start() if start else dmak.wait()
+
+    def out_copy(t, start):
+        b = t // nch
+        base = (t % nch) * tw
+        s = jax.lax.rem(t, 2)
+        for k in range(tw):
+            wy = wy_ref[b, base + k]
+            wx = wx_ref[b, base + k]
+            dst = o_any.at[b, pl.ds(wy * w, w), pl.ds(wx * w, w), :]
+            dma = pltpu.make_async_copy(o_tile.at[s, k], dst,
+                                        out_sems.at[s, k])
+            dma.start() if start else dma.wait()
+
+    @pl.when(i == 0)
+    def _():
+        in_copy(i, True)
+
+    @pl.when(i + 1 < total)
+    def _():
+        in_copy(i + 1, True)
+
+    in_copy(i, False)
+
+    @pl.when(i >= 2)
+    def _():
+        out_copy(i - 2, False)
+
+    def compute(slot):
+        x = x_tile[slot].reshape(tw, T, C)
+        kv = kv_tile[slot].reshape(tw, T, C) if cross else x
+        j = i % nch
+        if sel:
+            sq = selq_ref[0, pl.ds(j * tw, tw)]
+            sk = selk_ref[0, pl.ds(j * tw, tw)] if cross else sq
+            qm = qm_ref[0, pl.ds(j * tw, tw)]
+            km = km_ref[0, pl.ds(j * tw, tw)] if cross else qm
+            out = _layer_body_sel(
+                x, kv, sq, sk, qm, km, pos_ref, *p,
+                nhead, tau_min, cross, S,
+            )
+        else:
+            qm = qm_ref[0, pl.ds(j * tw, tw)]
+            km = km_ref[0, pl.ds(j * tw, tw)] if cross else qm
+            out = _layer_body(x, kv, qm, km, pos_ref, *p,
+                              nhead, tau_min, cross)
+        o_tile[slot] = out.reshape(tw, w, w, C).astype(o_tile.dtype)
+
+    @pl.when(jax.lax.rem(i, 2) == 0)
+    def _():
+        compute(0)
+
+    @pl.when(jax.lax.rem(i, 2) == 1)
+    def _():
+        compute(1)
+
+    out_copy(i, True)
+
+    @pl.when(i == total - 1)
+    def _():
+        if total >= 2:
+            out_copy(i - 1, False)
+        out_copy(i, False)
+
+
+def encoder_layer_fused_pipelined(xp, kvp, ci, pos, *params, nhead, tau_min,
+                                  cross, window, sel: bool):
+    """``encoder_layer_fused_inplace`` with double-buffered DMA (see section
+    comment). Same contract: padded carrier updated in place via aliasing,
+    forward-only, TPU/interpret only."""
+    B = xp.shape[0]
+    w = window
+    T = w * w
+    C = xp.shape[-1]
+    cap = ci.idx.shape[1]
+    tw = FUSED_TW if cap % FUSED_TW == 0 else TILE_WINDOWS
+    assert cap % tw == 0, (cap, tw)
+    nch = cap // tw
+    total = B * nch
+    dt = xp.dtype
+    wy, wx = ci.idx[..., 0], ci.idx[..., 1]
+    pspecs, pops = _fused_param_specs(params, dt)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    pos_spec = pl.BlockSpec((T, C), lambda *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    # per-sample mask/sel blocks: the kernel slices its chunk's rows itself,
+    # so block = the whole [cap, S] slab of sample b = i // nch
+    S = ci.sel.shape[-1] if sel else T
+    slab = lambda: pl.BlockSpec((1, cap, S), lambda i, *_: (i // nch, 0, 0),
+                                memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2, tw, w, w, C), dt),
+        pltpu.VMEM((2, tw, w, w, C), dt),
+        pltpu.SemaphoreType.DMA((2, tw)),
+        pltpu.SemaphoreType.DMA((2, tw)),
+    ]
+    if cross:
+        scratch.insert(1, pltpu.VMEM((2, tw, w, w, C), dt))
+        scratch.insert(3, pltpu.SemaphoreType.DMA((2, tw)))
+    kernel = functools.partial(
+        _kernel_fused_piped, nhead=nhead, tau_min=tau_min, cross=cross,
+        w=w, tw=tw, sel=sel, S=S, nch=nch, total=total)
+    if sel:
+        if cross:
+            in_specs = [any_spec, any_spec, slab(), slab(), slab(), slab(),
+                        pos_spec] + pspecs
+            operands = (xp, kvp, ci.sel, ci.ksel,
+                        ci.qmask.astype(jnp.float32),
+                        ci.kmask.astype(jnp.float32), pos) + pops
+        else:
+            in_specs = [any_spec, slab(), slab(), pos_spec] + pspecs
+            operands = (xp, ci.sel, ci.qmask.astype(jnp.float32), pos) + pops
+    else:
+        if cross:
+            in_specs = [any_spec, any_spec, slab(), slab(), pos_spec] + pspecs
+            operands = (xp, kvp, ci.qmask.astype(jnp.float32),
+                        ci.kmask.astype(jnp.float32), pos) + pops
+        else:
+            in_specs = [any_spec, slab(), pos_spec] + pspecs
+            operands = (xp, ci.qmask.astype(jnp.float32), pos) + pops
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, xp.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(total,),
+            in_specs=in_specs,
+            out_specs=any_spec,
+            scratch_shapes=scratch,
+        ),
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -37,8 +37,11 @@ def main():
     print('cells/frame:', occ.sum(1).sum(-1) // 1, flush=True)
     x = np.where(occ[..., None], rng.randn(B, H, W, C), 0).astype(np.float32)
 
+    import os
+    # TMAE_FUSED_TW=32 pairs with 32-divisible caps (192 mid)
+    mid = 192 if int(os.environ.get('TMAE_FUSED_TW', '16')) == 32 else 176
     caps = dict(small_cap=640, full_cap=128, small_tokens=16,
-                mid_cap=176, mid_tokens=48)
+                mid_cap=mid, mid_tokens=48)
     bc = jax.jit(lambda o: oc.build_bucketed_compact_info(
         o, w, False, caps['small_cap'], caps['full_cap'], (H, W),
         small_tokens=caps['small_tokens'], mid_cap=caps['mid_cap'],
