@@ -211,7 +211,16 @@ def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     candidates INSIDE a ``while_loop`` that stops once the valid candidates
     are exhausted — both the IoU work and the sequential scan scale with the
     real candidate count instead of the static K (a trained model at
-    SCORE_THRESH 0.1 passes far fewer than K=500 candidates)."""
+    SCORE_THRESH 0.1 passes far fewer than K=500 candidates).
+
+    ``static_trips=True`` (or TMAE_NMS_STATIC=1) trades the early exit for a
+    FIXED trip count over every block: each dispatch then has a
+    data-independent execution profile, which keeps the axon relay's
+    dispatch pipelining intact (the dynamic while_loop was measured to
+    serialize the stateless serving loop, STATUS r4 #7) — per-block work is
+    still skipped via a cheap predicate on the alive mask."""
+    import os as _os
+    static_trips = bool(_os.environ.get('TMAE_NMS_STATIC'))
     K = boxes.shape[0]
     pad = (-K) % block
     if pad:
@@ -220,12 +229,7 @@ def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     Kp = K + pad
     n = jnp.sum(valid.astype(jnp.int32))
 
-    def cond(st):
-        blk, alive, kept = st
-        return blk * block < n
-
-    def body(st):
-        blk, alive, kept = st
+    def body_core(blk, alive, kept):
         start = blk * block
         bb = jax.lax.dynamic_slice_in_dim(boxes, start, block, 0)
         sup = boxes_iou_bev(bb, boxes) > thresh  # [block, Kp]
@@ -240,14 +244,37 @@ def nms_bev_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
             kept = kept.at[idx].set(is_kept)
             return alive, kept
 
-        alive, kept = jax.lax.fori_loop(0, block, row, (alive, kept),
-                                        unroll=block)
-        return blk + 1, alive, kept
+        return jax.lax.fori_loop(0, block, row, (alive, kept), unroll=block)
 
-    _, _, kept = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.ones((Kp,), bool), jnp.zeros((Kp,), bool)),
-    )
+    if static_trips:
+        def body_fix(blk, st):
+            alive, kept = st
+            # skip blocks past the candidate count (predicated, not a
+            # loop-trip change: the dispatch shape stays static)
+            return jax.lax.cond(
+                blk * block < n,
+                lambda s: body_core(blk, *s),
+                lambda s: s,
+                (alive, kept),
+            )
+
+        _, kept = jax.lax.fori_loop(
+            0, Kp // block, body_fix,
+            (jnp.ones((Kp,), bool), jnp.zeros((Kp,), bool)))
+    else:
+        def cond(st):
+            blk, alive, kept = st
+            return blk * block < n
+
+        def body(st):
+            blk, alive, kept = st
+            alive, kept = body_core(blk, alive, kept)
+            return blk + 1, alive, kept
+
+        _, _, kept = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.ones((Kp,), bool), jnp.zeros((Kp,), bool)),
+        )
     kept = kept[:K]
     # cap to post_maxsize highest-score survivors
     rank = jnp.cumsum(kept.astype(jnp.int32)) - 1

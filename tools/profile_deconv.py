@@ -32,7 +32,7 @@ def main():
             def loop():
                 def body(c, _):
                     return jnp.sum(
-                        fn(x + c * jnp.asarray(1e-30, x.dtype)).astype(
+                        fn(x + (c * 1e-30).astype(x.dtype)).astype(
                             jnp.float32)) * 1e-30, None
                 out, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                       length=reps)
