@@ -327,22 +327,24 @@ class DenseEncoderLayer(nn.Module):
             def run_fused_inplace(bc, xp):
                 # round-5 serving path: one pallas_call per bucket fuses
                 # DMA-in + layer + DMA-out directly against the padded
-                # carrier — no intermediate window tensor, 3 launches/layer
-                # (pallas_encoder.py fused in-place section). Buckets touch
+                # carrier — no intermediate window tensor, 3 launches/layer,
+                # with chunk j+1's fetch and j-1's writeback overlapping
+                # chunk j's compute (double-buffered pipelined kernel;
+                # 2.07 -> 1.18 ms/layer at stage-1 caps B=2 with 32-wide
+                # tiles, tools/profile_fused_layer.py). Buckets touch
                 # disjoint window sets, so order is free.
+                fn = pallas_encoder.encoder_layer_fused_pipelined
                 for si in (bc.small, bc.mid):
                     if si is None or not si.idx.shape[1]:
                         continue
-                    xp = pallas_encoder.encoder_layer_fused_inplace(
-                        xp, kvp, si, pos, *params, nhead=self.nhead,
-                        tau_min=self.tau_min, cross=cross, window=w,
-                        sel=True)
+                    xp = fn(xp, kvp, si, pos, *params, nhead=self.nhead,
+                            tau_min=self.tau_min, cross=cross, window=w,
+                            sel=True)
                 ci = bc.full
                 if ci is not None and ci.idx.shape[1]:
-                    xp = pallas_encoder.encoder_layer_fused_inplace(
-                        xp, kvp, ci, pos, *params, nhead=self.nhead,
-                        tau_min=self.tau_min, cross=cross, window=w,
-                        sel=False)
+                    xp = fn(xp, kvp, ci, pos, *params, nhead=self.nhead,
+                            tau_min=self.tau_min, cross=cross, window=w,
+                            sel=False)
                 return xp
 
             def run_train_cat(bc, xp):

@@ -28,7 +28,7 @@ TILE_WINDOWS = 16  # 32 wins ~7% standalone but loses ~5% in-model (and compiles
 # per-descriptor DMA issue cost when every cap divides it.
 import os as _os_pe  # noqa: E402
 
-FUSED_TW = int(_os_pe.environ.get('TMAE_FUSED_TW', '16'))
+FUSED_TW = int(_os_pe.environ.get('TMAE_FUSED_TW', '32'))
 
 _INTERPRET = False
 
