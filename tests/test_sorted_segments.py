@@ -104,3 +104,29 @@ def test_real_tpu_production_shapes():
         want = jnp.where(mask[..., None], segment_max(f, seg, V),
                          jnp.zeros((), dt))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gradient_matches_scatter_path():
+    """The round-5 custom VJP must match segment_max's gradient (even split
+    among tied maxima), including relu-style ties and invalid OOB rows."""
+    import jax
+
+    rng = np.random.RandomState(4)
+    B, P, V, C, block = 1, 128, 16, 4, 32
+    feat, seg, ends, mask = _case(rng, B, P, V, C)
+    # force ties: quantize features coarsely
+    feat = jnp.round(feat * 2.0) / 2.0
+    w = jnp.asarray(rng.randn(V, C).astype(np.float32))
+
+    def loss_sorted(f):
+        out = sorted_segments.sorted_segment_max(f, seg, ends, mask, V,
+                                                 block)
+        return jnp.sum(out * w)
+
+    def loss_scatter(f):
+        out = jnp.where(mask[..., None], segment_max(f, seg, V), 0.0)
+        return jnp.sum(out * w)
+
+    g1 = jax.grad(loss_sorted)(feat)
+    g2 = jax.grad(loss_scatter)(feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)

@@ -94,13 +94,14 @@ class DynPillarEncoder(nn.Module):
         if self.compute_dtype == 'bf16':
             x = x.astype(jnp.bfloat16)
 
-        # Serving fast path: host-sorted points (HOST_VOXELIZE_SORT) turn the
-        # row-count-bound scatter-max into a Pallas segmented scan + end
-        # gather (ops/sorted_segments.py). Invalid rows carry the OOB slot V,
-        # so they form their own never-gathered segment — no -inf pre-mask.
-        # Train keeps the differentiable scatter path.
-        sorted_max = (not train and hostvox is not None
-                      and 'seg_ends' in hostvox)
+        # Host-sorted fast path (HOST_VOXELIZE_SORT): the row-count-bound
+        # scatter-max becomes a Pallas segmented scan + end gather
+        # (ops/sorted_segments.py). Invalid rows carry the OOB slot V, so
+        # they form their own never-gathered segment — no -inf pre-mask.
+        # Differentiable since round 5 (custom_vjp matching segment_max's
+        # even tie-split), so TRAINING uses it too when the pipeline ships
+        # sorted inputs; the scatter path remains for unsorted inputs.
+        sorted_max = hostvox is not None and 'seg_ends' in hostvox
         n_stacks = len(self.mlps)
         for k, widths in enumerate(self.mlps):
             for w in widths:

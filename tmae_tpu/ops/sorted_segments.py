@@ -65,7 +65,7 @@ def _scan_kernel(seg_ref, feat_ref, out_ref, carry_slot, carry_max):
     carry_max[...] = x[bp - 1:bp]
 
 
-@functools.partial(jax.jit, static_argnames=('num_segments', 'block'))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def sorted_segment_max(feat: jnp.ndarray, seg: jnp.ndarray,
                        seg_ends: jnp.ndarray, seg_mask: jnp.ndarray,
                        num_segments: int, block: int = 1024):
@@ -105,3 +105,35 @@ def sorted_segment_max(feat: jnp.ndarray, seg: jnp.ndarray,
 
     return jax.vmap(one)(feat, seg, seg_ends[..., :num_segments],
                          seg_mask[..., :num_segments])
+
+
+def _ssm_fwd(feat, seg, seg_ends, seg_mask, num_segments, block):
+    out = sorted_segment_max(feat, seg, seg_ends, seg_mask, num_segments,
+                             block)
+    return out, (feat, seg, seg_ends, seg_mask, out)
+
+
+def _ssm_bwd(num_segments, block, res, g):
+    """Gradient matching ``segment_max``'s convention (even split among
+    tied maxima — probed against jax's vjp). Lets TRAINING use the sorted
+    fast path: the forward's scatter-max is gone; the backward costs the
+    same eq-compare + segment-sum + gathers the scatter path's vjp does."""
+    import numpy as np
+
+    from .voxelize import segment_sum
+
+    feat, seg, seg_ends, seg_mask, out = res
+    safe = jnp.minimum(seg, num_segments - 1)[..., None].astype(jnp.int32)
+    valid_p = (seg < num_segments)[..., None]
+    out_at = jnp.take_along_axis(out, safe, axis=1)        # [B, P, C]
+    eq = (feat == out_at) & valid_p
+    cnt = segment_sum(eq.astype(jnp.float32), seg, num_segments)
+    cnt_at = jnp.take_along_axis(cnt, safe, axis=1)
+    g = jnp.where(seg_mask[..., :num_segments, None], g, 0)
+    g_at = jnp.take_along_axis(g, safe, axis=1)
+    dfeat = jnp.where(eq, g_at / jnp.maximum(cnt_at, 1.0), 0.0)
+    z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dfeat.astype(feat.dtype), z(seg), z(seg_ends), z(seg_mask))
+
+
+sorted_segment_max.defvjp(_ssm_fwd, _ssm_bwd)
