@@ -26,6 +26,10 @@ def main():
     ap.add_argument('--batches', type=int, nargs='+', default=[1, 2, 4])
     ap.add_argument('--set', dest='set_cfgs', nargs='+', default=None,
                     help='config overrides, e.g. RUNTIME.VFE_COMPUTE bf16')
+    ap.add_argument('--mode', choices=['step', 'grad', 'fwd'],
+                    default='step',
+                    help='step = full train step; grad = fwd+bwd only; '
+                         'fwd = loss forward only (decomposition timing)')
     cli = ap.parse_args()
 
     import jax
@@ -73,14 +77,42 @@ def main():
             loss_fn = lambda out, b: centerpoint_loss(cfg, out, b)
             step = make_train_step(model, loss_fn, tx)
 
-        @jax.jit
-        def steps(state, dev, n=4):
-            def body(s, i):
-                s2, metrics = step(s, dev, jax.random.fold_in(
-                    jax.random.PRNGKey(1), i))
-                return s2, metrics['loss']
-            s, losses = jax.lax.scan(body, state, jnp.arange(n))
-            return s, losses
+        mode = getattr(cli, 'mode', 'step')
+        if mode == 'step':
+            @jax.jit
+            def steps(state, dev, n=4):
+                def body(s, i):
+                    s2, metrics = step(s, dev, jax.random.fold_in(
+                        jax.random.PRNGKey(1), i))
+                    return s2, metrics['loss']
+                s, losses = jax.lax.scan(body, state, jnp.arange(n))
+                return s, losses
+        else:
+            # decomposition modes: 'fwd' = loss forward only; 'grad' =
+            # fwd + bwd (no optimizer update). Same scan-chained timing.
+            def loss_of(params_etc, b, rng):
+                var = dict(variables)
+                var['params'] = params_etc
+                rngs = {'mae_mask': rng} if is_mae else {}
+                out, _ = model.apply(var, b, train=True, rngs=rngs,
+                                     mutable=['batch_stats', 'intermediates'])
+                loss, _ = loss_fn(out, b)
+                return loss
+
+            @jax.jit
+            def steps(state, dev, n=4):
+                def body(c, i):
+                    rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    p = jax.tree.map(lambda a, cc=c: a + cc * 1e-30,
+                                     state.params)
+                    if mode == 'fwd':
+                        val = loss_of(p, dev, rng)
+                    else:
+                        val, _ = jax.value_and_grad(loss_of)(p, dev, rng)
+                    return val * 1e-30, val
+                s, losses = jax.lax.scan(body, jnp.float32(0.0),
+                                         jnp.arange(n))
+                return state, losses
 
         try:
             t0 = time.time()
