@@ -75,6 +75,11 @@ class _DetectorBase(nn.Module):
     occ_mid_caps: Sequence[int] = ()
     occ_mid_tokens: int = 48
     vfe_compute: str = 'f32'  # RUNTIME.VFE_COMPUTE: 'bf16' halves VFE traffic
+    # RUNTIME.REMAT_STAGES: per-pyramid-stage rematerialization of the SST
+    # shift blocks (empty = remat everywhere). Stages 1-2 carry 4x/16x
+    # smaller activations than stride 1 — skipping their remat trades HBM
+    # for not recomputing those blocks in the backward.
+    remat_stages: Sequence[bool] = ()
 
     def _vfe(self, batch, train, skip_prev: bool = False):
         """Run the configured VFE; returns (vs_cur, vs_prv|None, cur_extras).
@@ -167,6 +172,7 @@ class CenterPoint(_DetectorBase):
                 occ_small_caps=self.occ_small_caps,
                 occ_small_tokens=self.occ_small_tokens,
                 occ_mid_caps=self.occ_mid_caps,
+                remat_stages=self.remat_stages,
                 occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d'
             )(vs_cur, vs_prv, train, cached_prev=cached_prev,
               return_hidden=return_hidden)
@@ -181,6 +187,7 @@ class CenterPoint(_DetectorBase):
                 occ_small_caps=self.occ_small_caps,
                 occ_small_tokens=self.occ_small_tokens,
                 occ_mid_caps=self.occ_mid_caps,
+                remat_stages=self.remat_stages,
                 occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d'
             )(vs_cur, train)
         else:
@@ -212,6 +219,7 @@ class TMAE(_DetectorBase):
                 occ_small_caps=self.occ_small_caps,
                 occ_small_tokens=self.occ_small_tokens,
                 occ_mid_caps=self.occ_mid_caps,
+                remat_stages=self.remat_stages,
                 occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d',
             )(vs_cur, vs_prv, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
@@ -223,6 +231,7 @@ class TMAE(_DetectorBase):
                 occ_small_caps=self.occ_small_caps,
                 occ_small_tokens=self.occ_small_tokens,
                 occ_mid_caps=self.occ_mid_caps,
+                remat_stages=self.remat_stages,
                 occ_mid_tokens=self.occ_mid_tokens, name='backbone_3d',
             )(vs_cur, batch['points'][..., :3], cur['point_voxel'],
               cur['point_valid'], train, mask_rng=mask_rng)
@@ -280,6 +289,8 @@ def build_detector(cfg):
             int(v) for v in runtime.get('OCC_MID_CAPS', ())),
         occ_mid_tokens=int(runtime.get('OCC_MID_TOKENS', 48)),
         vfe_compute=str(runtime.get('VFE_COMPUTE', 'f32')),
+        remat_stages=tuple(
+            bool(v) for v in runtime.get('REMAT_STAGES', ())),
     )
 
 

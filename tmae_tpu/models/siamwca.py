@@ -56,6 +56,7 @@ class SiamWCAEncoder(nn.Module):
 
     model_cfg: Any
     max_voxels_per_level: Sequence[int]
+    remat_stages: Sequence[bool] = ()
     window: int = 8
     occ_window_caps: Sequence[int] | None = None
     occ_small_caps: Sequence[int] | None = None
@@ -82,6 +83,11 @@ class SiamWCAEncoder(nn.Module):
             return 0
         return int(self.occ_mid_caps[i])
 
+    def _remat(self, i) -> bool:
+        if not self.remat_stages:
+            return True
+        return bool(self.remat_stages[i])
+
     def setup(self):
         blocks = self.model_cfg['SST_BLOCK_LIST']
         asym = self.model_cfg.get('ASYMMETRIC', None)
@@ -97,6 +103,7 @@ class SiamWCAEncoder(nn.Module):
                 encoder_cfg=dict(b['ENCODER']), window=self.window,
                 max_tokens=self._max_tokens(b),
                 max_voxels_out=self.max_voxels_per_level[i],
+                remat=self._remat(i),
                 occ_window_cap=self._cap(i),
                 occ_small_cap=self._small_cap(i),
                 occ_small_tokens=self.occ_small_tokens,
@@ -113,6 +120,7 @@ class SiamWCAEncoder(nn.Module):
                     max_tokens=self._max_tokens(b),
                     max_voxels_out=self.max_voxels_per_level[i],
                     half_channels=True,
+                    remat=self._remat(i),
                     occ_window_cap=self._cap(i),
                     occ_small_cap=self._small_cap(i),
                     occ_small_tokens=self.occ_small_tokens,
@@ -196,6 +204,7 @@ class SiamWCA(nn.Module):
     occ_small_tokens: int = 16
     occ_mid_caps: Sequence[int] | None = None
     occ_mid_tokens: int = 48
+    remat_stages: Sequence[bool] = ()
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet, train: bool,
@@ -223,7 +232,8 @@ class SiamWCA(nn.Module):
             occ_small_caps=self.occ_small_caps,
             occ_small_tokens=self.occ_small_tokens,
             occ_mid_caps=self.occ_mid_caps,
-            occ_mid_tokens=self.occ_mid_tokens, name='encoder'
+            occ_mid_tokens=self.occ_mid_tokens,
+            remat_stages=self.remat_stages, name='encoder'
         )(g_cur, g_prv, train, hid_prv=cached_prev)
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])
@@ -302,6 +312,7 @@ class SiamWCA_MAE(nn.Module):
     occ_small_tokens: int = 16
     occ_mid_caps: Sequence[int] | None = None
     occ_mid_tokens: int = 48
+    remat_stages: Sequence[bool] = ()
 
     @nn.compact
     def __call__(self, vs_cur: VoxelSet, vs_prv: VoxelSet,
@@ -334,7 +345,8 @@ class SiamWCA_MAE(nn.Module):
             occ_small_caps=self.occ_small_caps,
             occ_small_tokens=self.occ_small_tokens,
             occ_mid_caps=self.occ_mid_caps,
-            occ_mid_tokens=self.occ_mid_tokens, name='encoder'
+            occ_mid_tokens=self.occ_mid_tokens,
+            remat_stages=self.remat_stages, name='encoder'
         )(g_vis, g_prv, train)[0]
         fuse_layers = [
             dict(self.model_cfg['FUSE_LAYER'][src])

@@ -28,6 +28,7 @@ class SPTEncoder(nn.Module):
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
     occ_mid_caps: Sequence[int] | None = None
+    remat_stages: Sequence[bool] = ()
     occ_mid_tokens: int = 48
 
     def _max_tokens(self, blk) -> int:
@@ -66,6 +67,7 @@ class SPTBackbone(nn.Module):
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
     occ_mid_caps: Sequence[int] | None = None
+    remat_stages: Sequence[bool] = ()
     occ_mid_tokens: int = 48
 
     @nn.compact
@@ -102,6 +104,7 @@ class SPTBackboneMAE(nn.Module):
     occ_small_caps: Sequence[int] | None = None
     occ_small_tokens: int = 16
     occ_mid_caps: Sequence[int] | None = None
+    remat_stages: Sequence[bool] = ()
     occ_mid_tokens: int = 48
 
     @nn.compact
