@@ -75,6 +75,7 @@ class _DetectorBase(nn.Module):
     occ_mid_caps: Sequence[int] = ()
     occ_mid_tokens: int = 48
     vfe_compute: str = 'f32'  # RUNTIME.VFE_COMPUTE: 'bf16' halves VFE traffic
+    vfe_remat: bool = True    # RUNTIME.VFE_REMAT: rematerialize the VFE MLP
     # RUNTIME.REMAT_STAGES: per-pyramid-stage rematerialization of the SST
     # shift blocks (empty = remat everywhere). Stages 1-2 carry 4x/16x
     # smaller activations than stride 1 — skipping their remat trades HBM
@@ -96,6 +97,7 @@ class _DetectorBase(nn.Module):
             compute_dtype=str(self.vfe_compute),
         )
         if name == 'TemporalDynVFE':
+            kwargs['remat'] = bool(self.vfe_remat)
             # host-precomputed voxelization (RUNTIME.HOST_VOXELIZE): the
             # input pipeline ships the point→pillar map, skipping the
             # ~2.1 ms/frame device voxelize
@@ -289,6 +291,7 @@ def build_detector(cfg):
             int(v) for v in runtime.get('OCC_MID_CAPS', ())),
         occ_mid_tokens=int(runtime.get('OCC_MID_TOKENS', 48)),
         vfe_compute=str(runtime.get('VFE_COMPUTE', 'f32')),
+        vfe_remat=bool(runtime.get('VFE_REMAT', True)),
         remat_stages=tuple(
             bool(v) for v in runtime.get('REMAT_STAGES', ())),
     )
