@@ -108,7 +108,12 @@ def main():
                     if mode == 'fwd':
                         val = loss_of(p, dev, rng)
                     else:
-                        val, _ = jax.value_and_grad(loss_of)(p, dev, rng)
+                        # consume the gradients or XLA dead-code-eliminates
+                        # the whole backward (observed: 'grad' == 'fwd' time)
+                        val, g = jax.value_and_grad(loss_of)(p, dev, rng)
+                        gsum = sum(jnp.vdot(a, a)
+                                   for a in jax.tree.leaves(g))
+                        val = val + gsum.real * 1e-30
                     return val * 1e-30, val
                 s, losses = jax.lax.scan(body, jnp.float32(0.0),
                                          jnp.arange(n))
