@@ -48,9 +48,14 @@ COMPUTE_DTYPE = jnp.bfloat16
 import os as _os  # noqa: E402
 
 _NO_COMBINED = bool(_os.environ.get('TMAE_NO_COMBINED'))
-# Debug escape hatch for the round-5 fused DMA+layer+DMA serving kernels
-# (falls back to the combined-bucket gather/rows/scatter path).
-_NO_FUSED_INPLACE = bool(_os.environ.get('TMAE_NO_FUSED_INPLACE'))
+# Round-5 fused DMA+layer+DMA serving kernels are OPT-IN: measured e2e they
+# match the combined-bucket path (22.4 vs 22.6 fps, same day) but compile
+# 2-3x slower (~250-370 s vs ~115 s for the bucketed serving graph), which
+# busts the driver bench's 480 s cold budget. TMAE_FUSED_INPLACE=1 enables
+# them; the combined gather/rows/scatter path is the default.
+_FUSED_INPLACE = bool(_os.environ.get('TMAE_FUSED_INPLACE'))
+_NO_FUSED_INPLACE = not _FUSED_INPLACE or bool(
+    _os.environ.get('TMAE_NO_FUSED_INPLACE'))
 
 
 @flax.struct.dataclass
