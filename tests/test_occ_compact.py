@@ -404,3 +404,85 @@ def test_three_bucket_compact_matches_dense():
         np.asarray(comp_out.x, np.float32), np.asarray(dense_out.x, np.float32),
         atol=3e-2, rtol=3e-2,
     )
+
+
+def _brute_run_widths(idx, step):
+    """Sequential greedy strip cover (the spec _run_widths vectorizes)."""
+    B, cap, _ = idx.shape
+    out = np.zeros((B, cap), np.int32)
+    for b in range(B):
+        k = 0
+        while k < cap:
+            L = 1
+            while (L < oc._RUN_W and k + L < cap and (k + L) % step != 0
+                   and idx[b, k + L, 0] == idx[b, k + L - 1, 0]
+                   and idx[b, k + L, 1] == idx[b, k + L - 1, 1] + 1):
+                L += 1
+            out[b, k] = L
+            k += L
+    return out
+
+
+def test_run_widths_matches_greedy_cover():
+    """_run_widths (vectorized) == sequential greedy strip cover, and the
+    strips partition the slots (every slot covered exactly once)."""
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        B, cap = rng.randint(1, 3), 16 * rng.randint(1, 8)
+        idx = np.zeros((B, cap, 2), np.int32)
+        for b in range(B):
+            wy, rows = 0, []
+            while len(rows) < cap:
+                if rng.rand() < 0.6 and rows and rows[-1][0] == wy:
+                    rows.append((wy, rows[-1][1] + 1))
+                else:
+                    wy += rng.randint(0, 3)
+                    rows.append((wy, rng.randint(0, 50)))
+            idx[b] = np.array(rows[:cap])
+        got = np.asarray(oc._run_widths(jnp.asarray(idx), 16))
+        np.testing.assert_array_equal(got, _brute_run_widths(idx, 16))
+        for b in range(B):
+            covered = np.zeros(cap, bool)
+            for k in range(cap):
+                if got[b, k]:
+                    assert not covered[k:k + got[b, k]].any()
+                    covered[k:k + got[b, k]] = True
+            assert covered.all()
+    # dummy padding slots (all the same window) are width-1 strips
+    d = jnp.asarray(np.tile(np.array([[[7, 0]]], np.int32), (1, 32, 1)))
+    assert (np.asarray(oc._run_widths(d, 16)) == 1).all()
+
+
+@pytest.mark.tpu
+def test_run_dma_kernels_match_multi_on_tpu():
+    """Opt-in run-merged strip kernels (TMAE_RUNDMA=1) must be bit-equal to
+    the per-window multi kernels on the real TPU (clustered production-like
+    occupancy, bucketed cat plan, bf16 carrier)."""
+    if jax.default_backend() == 'cpu':
+        pytest.skip('needs a real TPU backend')
+    rng = np.random.RandomState(0)
+    B, H, W, C, w = 2, 468, 468, 128, 8
+    occ = np.zeros((B, H, W), bool)
+    for b in range(B):
+        for cy, cx in rng.randint(0, H - 24, size=(140, 2)):
+            occ[b, cy:cy + 24, cx:cx + 24] |= rng.rand(24, 24) < 0.12
+    x = np.where(occ[..., None], rng.randn(B, H, W, C), 0).astype(np.float32)
+    bc = jax.jit(lambda o: oc.build_bucketed_compact_info(
+        o, w, False, 640, 128, (H, W), small_tokens=16, mid_cap=192,
+        mid_tokens=48))(jnp.asarray(occ))
+    xp = jax.jit(lambda a: oc.pad_grid(a, w, False))(
+        jnp.asarray(x, jnp.bfloat16))
+    idx = bc.cat_idx
+    runw = jax.jit(lambda i: oc._run_widths(i, oc._MULTI))(idx)
+    g_run = jax.device_get(oc._gather_pallas_run(xp, idx, runw, w))
+    g_multi = jax.device_get(oc._gather_pallas_multi(xp, idx, w))
+    np.testing.assert_array_equal(np.asarray(g_run), np.asarray(g_multi))
+    xw = oc._gather_pallas_multi(xp, idx, w)
+    s_run = np.asarray(jax.device_get(
+        oc._scatter_into_pallas_run(xw, idx, runw, xp, w)))
+    s_multi = np.asarray(jax.device_get(
+        oc._scatter_into_pallas_multi(xw, idx, xp, w)))
+    nwy = (s_run.shape[1] - w) // w
+    # the dummy bottom pad row is racy garbage in both paths; compare real rows
+    np.testing.assert_array_equal(s_run[:, :nwy * w - w],
+                                  s_multi[:, :nwy * w - w])

@@ -50,6 +50,203 @@ _PLAN_ARGSORT = bool(_os.environ.get('TMAE_PLAN_ARGSORT'))
 # gather+scatter roundtrip). TMAE_NO_MULTI_GATHER=1 restores the old path.
 _NO_MULTI = bool(_os.environ.get('TMAE_NO_MULTI_GATHER'))
 
+# Run-merged DMA strips (round-5 experiment, OPT-IN via TMAE_RUNDMA=1).
+# Hypothesis: per-window descriptor ISSUE bounds the gather/scatter (~0.38
+# us/window for ~60 MB that HBM bandwidth could move in ~80 us). The plans
+# are raster-ordered and LiDAR occupancy clusters, so horizontally adjacent
+# windows sit in adjacent slots: these kernels fetch each run of up to
+# _RUN_W adjacent windows as ONE (w, run*w, C) strip descriptor into VMEM,
+# split strips into window slots with vector copies, and let the Pallas
+# pipeline move the compact block. MEASURED (stage-0 production caps, B=2,
+# 1067 strip descriptors vs 1920 per-window): gather 0.818 vs 0.743 ms,
+# scatter 0.763 vs 0.648 ms — SLOWER despite 1.8x fewer descriptors. The
+# per-descriptor saving is real but smaller than the added VMEM staging pass
+# and the ~190 predicated scalar branches per grid step, i.e. the multi
+# kernels are NOT descriptor-issue-bound at these sizes. Kept for
+# re-evaluation on hardware with different DMA-engine characteristics.
+_NO_RUNDMA = not bool(_os.environ.get('TMAE_RUNDMA'))
+_RUN_W = 4
+
+
+def _run_widths(idx: jnp.ndarray, step: int) -> jnp.ndarray:
+    """Merged-DMA strip widths for a raster-ordered slot plan.
+
+    ``idx`` [B, cap, 2] (wy, wx). Returns [B, cap] int32: slots that start a
+    horizontal run of adjacent windows carry the strip width (1.._RUN_W);
+    slots covered by an earlier slot's strip carry 0. Strips never cross a
+    ``step``-slot boundary (the kernels' per-grid-step staging buffer).
+    Dummy padding slots all point at the same window, which is NOT adjacent
+    to itself, so they come out width 1."""
+    wy, wx = idx[..., 0], idx[..., 1]
+    B, cap = wy.shape
+    # nxt[k] = slot k+1 is the window immediately right of slot k
+    nxt = (wy[:, 1:] == wy[:, :-1]) & (wx[:, 1:] == wx[:, :-1] + 1)
+    false_col = jnp.zeros((B, 1), bool)
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    seg_start = jnp.concatenate([jnp.ones((B, 1), bool), ~nxt], axis=1)
+    run_start = jax.lax.cummax(jnp.where(seg_start, k, 0), axis=1)
+    # strip phase restarts at forced step-boundary starts, not just segment
+    # starts: anchor = the latest of (segment start, this step's first slot)
+    anchor = jnp.maximum(run_start, (k // step) * step)
+    start = seg_start | ((k - anchor) % _RUN_W == 0)
+    cont = ~start  # covered by the previous slot's strip
+
+    def sh(a, i):
+        return jnp.concatenate(
+            [a[:, i:], jnp.broadcast_to(false_col, (B, i))], axis=1)
+
+    c1 = sh(cont, 1)
+    c2 = c1 & sh(cont, 2)
+    c3 = c2 & sh(cont, 3)
+    width = 1 + c1.astype(jnp.int32) + c2.astype(jnp.int32) \
+        + c3.astype(jnp.int32)
+    return jnp.where(start, width, 0)
+
+
+def _gather_run_kernel(runw_ref, wy_ref, wx_ref, x_ref, o_ref, strips, sems,
+                       *, w, multi):
+    """One grid step: fetch the strips covering `multi` consecutive slots
+    (1 descriptor per run instead of per window), split strips into window
+    slots in VMEM; the Pallas pipeline writes the (1, multi, w, w, C) block."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    base = j * multi
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        for width in range(1, _RUN_W + 1):
+            @pl.when(L == width)
+            def _(k=k, width=width, wy=wy, wx=wx):
+                pltpu.make_async_copy(
+                    x_ref.at[b, pl.ds(wy * w, w),
+                             pl.ds(wx * w, width * w), :],
+                    strips.at[k, :, pl.ds(0, width * w), :],
+                    sems.at[k],
+                ).start()
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        for width in range(1, _RUN_W + 1):
+            @pl.when(L == width)
+            def _(k=k, width=width, wy=wy, wx=wx):
+                pltpu.make_async_copy(
+                    x_ref.at[b, pl.ds(wy * w, w),
+                             pl.ds(wx * w, width * w), :],
+                    strips.at[k, :, pl.ds(0, width * w), :],
+                    sems.at[k],
+                ).wait()
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        for jj in range(_RUN_W):
+            if k + jj >= multi:
+                continue
+
+            @pl.when(jj < L)
+            def _(k=k, jj=jj):
+                o_ref[0, k + jj] = strips[k, :, jj * w:(jj + 1) * w, :]
+
+
+def _gather_pallas_run(xp, idx, runw, window):
+    B, Hp2, Wp, C = xp.shape
+    cap = idx.shape[1]
+    w = window
+    wy, wx = idx[..., 0], idx[..., 1]
+    out = pl.pallas_call(
+        functools.partial(_gather_run_kernel, w=w, multi=_MULTI),
+        out_shape=jax.ShapeDtypeStruct((B, cap, w, w, C), xp.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, cap // _MULTI),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, _MULTI, w, w, C), lambda b, j, *_: (b, j, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_MULTI, w, _RUN_W * w, C), xp.dtype),
+                pltpu.SemaphoreType.DMA((_MULTI,)),
+            ],
+        ),
+        interpret=_INTERPRET,
+    )(runw, wy, wx, xp)
+    return out.reshape(B, cap, w * w, C)
+
+
+def _scatter_run_kernel(runw_ref, wy_ref, wx_ref, init_ref, xw_ref, o_ref,
+                        strips, sems, *, w, multi):
+    """Reverse of the gather run kernel: the Pallas pipeline reads the
+    (1, multi, w, w, C) slot block into VMEM, slots merge into strips, and
+    one descriptor per run writes back into the aliased padded grid."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    base = j * multi
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        for jj in range(_RUN_W):
+            if k + jj >= multi:
+                continue
+
+            @pl.when(jj < L)
+            def _(k=k, jj=jj):
+                strips[k, :, jj * w:(jj + 1) * w, :] = xw_ref[0, k + jj]
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        for width in range(1, _RUN_W + 1):
+            @pl.when(L == width)
+            def _(k=k, width=width, wy=wy, wx=wx):
+                pltpu.make_async_copy(
+                    strips.at[k, :, pl.ds(0, width * w), :],
+                    o_ref.at[b, pl.ds(wy * w, w),
+                             pl.ds(wx * w, width * w), :],
+                    sems.at[k],
+                ).start()
+    for k in range(multi):
+        L = runw_ref[b, base + k]
+        wy = wy_ref[b, base + k]
+        wx = wx_ref[b, base + k]
+        for width in range(1, _RUN_W + 1):
+            @pl.when(L == width)
+            def _(k=k, width=width, wy=wy, wx=wx):
+                pltpu.make_async_copy(
+                    strips.at[k, :, pl.ds(0, width * w), :],
+                    o_ref.at[b, pl.ds(wy * w, w),
+                             pl.ds(wx * w, width * w), :],
+                    sems.at[k],
+                ).wait()
+
+
+def _scatter_into_pallas_run(xw, idx, runw, init_p, window):
+    """Aliased scatter-overwrite with run-merged write descriptors. Dummy
+    slots are width-1 strips to the shared dummy window; their concurrent
+    writes race harmlessly (the content is never read)."""
+    B, cap, T, C = xw.shape
+    w = window
+    wy, wx = idx[..., 0], idx[..., 1]
+    out = pl.pallas_call(
+        functools.partial(_scatter_run_kernel, w=w, multi=_MULTI),
+        out_shape=jax.ShapeDtypeStruct(init_p.shape, xw.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, cap // _MULTI),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(
+                          (1, _MULTI, w, w, C),
+                          lambda b, j, *_: (b, j, 0, 0, 0),
+                          memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((_MULTI, w, _RUN_W * w, C), xw.dtype),
+                pltpu.SemaphoreType.DMA((_MULTI,)),
+            ],
+        ),
+        input_output_aliases={3: 0},
+        interpret=_INTERPRET,
+    )(runw, wy, wx, init_p.astype(xw.dtype), xw.reshape(B, cap, w, w, C))
+    return out
+
 
 def set_interpret(flag: bool):
     global _INTERPRET
@@ -582,6 +779,9 @@ def gather_windows_padded(xp, idx, window: int):
     if _use_pallas():
         if (not _NO_MULTI and not _INTERPRET
                 and idx.shape[1] % _MULTI == 0):
+            if not _NO_RUNDMA:
+                runw = _run_widths(idx, _MULTI)
+                return _gather_pallas_run(xp, idx, runw, window)
             return _gather_pallas_multi(xp, idx, window)
         return _gather_pallas(xp, idx, window)
     return _gather_ref_padded(xp, idx, window)
@@ -622,6 +822,9 @@ def scatter_windows_into_padded(xw, idx, init_p, window: int):
     if _use_pallas():
         if (not _NO_MULTI and not _INTERPRET
                 and idx.shape[1] % _MULTI == 0):
+            if not _NO_RUNDMA:
+                runw = _run_widths(idx, _MULTI)
+                return _scatter_into_pallas_run(xw, idx, runw, init_p, window)
             return _scatter_into_pallas_multi(xw, idx, init_p, window)
         B, cap, T, C = xw.shape
         wy, wx = idx[..., 0], idx[..., 1]
