@@ -277,7 +277,7 @@ def child():
             out = model_b.apply(variables, b, train=False,
                                 cached_prev=cached, return_hidden=True)
             preds = centerpoint_predict(cfg, out, nms_on_device=nms_device,
-                                        exact_topk=False)
+                                        exact_topk=exact)
             return preds, out['hidden_cur']
 
         preds, hidden = infer_stream(variables, dev_batch, None)
@@ -304,6 +304,18 @@ def child():
             n += 1
         sfps = n * dev_batch['points'].shape[0] / (time.perf_counter() - t0)
         note(f'streaming serving (cached prev pyramid): {sfps:.2f} fps')
+        # tagged record for the run log; deliberately NOT the driver metric
+        # ('value' absent): the temporal datasets pose-align prev points into
+        # the CURRENT ego frame (once_temporal.py convert_prv_frame_to_cur),
+        # so a cached pyramid is only exact when the ego is stationary —
+        # streaming is a documented approximate serving mode, while the
+        # driver metric stays the reference-semantics stateless forward.
+        print(json.dumps({
+            'tag': 'streaming_serving',
+            'metric': 'streaming_inference_frames_per_sec_per_chip',
+            'value_streaming': round(sfps, 3),
+            'unit': 'frames/s',
+        }), flush=True)
 
     # optional occupancy-sensitivity sweep (stderr notes only; the driver
     # JSON above is unchanged): re-render the lidar scene at 0.5x/2x

@@ -39,7 +39,10 @@ def main():
     )
     batch = next(iter(loader))
     dev = {k: jnp.asarray(v) for k, v in batch.items()
-           if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev')}
+           if k in ('points', 'point_mask', 'points_prev', 'point_mask_prev',
+                    'pv_cur', 'pvalid_cur', 'vcoords_cur', 'vmask_cur',
+                    'pv_prv', 'pvalid_prv', 'vcoords_prv', 'vmask_prv',
+                    'vmean_cur', 'vends_cur', 'vmean_prv', 'vends_prv')}
     model = build_detector(cfg)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), dev)
@@ -48,7 +51,7 @@ def main():
     def infer(variables, b):
         out = model.apply(variables, b, train=False)
         return centerpoint_predict(cfg, out, nms_on_device=False,
-                                   exact_topk=False)
+                                   exact_topk=True)
 
     jax.block_until_ready(infer(variables, dev))
     tmp = tempfile.mkdtemp(prefix='xtrace_')
